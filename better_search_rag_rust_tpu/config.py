@@ -1,0 +1,150 @@
+"""Configuration surface for the framework.
+
+The reference hardcodes every knob as a compile-time constant or env var
+(reference: src/main.rs:38-45 — ``extensions``, ``dir``, ``chunk_size``,
+``top_k``, ``query_idx``, ``SKIP_PROCESS``; src/llm/hf.rs:9-10,62 — model path
+and ``max_token_length=512``; src/main.rs:41 — vstore dir). Its README even
+instructs users to "adjust the chunk size in main.rs". Here every knob is a
+dataclass field with a CLI mapping (see :mod:`.cli`).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+from dataclasses import dataclass, field
+from typing import Optional, Sequence, Tuple
+
+# Default embedding dimensionality of nomic-embed-text-v1.5
+# (reference: src/llm/hf.rs:118-123 — [B, 768] output).
+DEFAULT_DIM = 768
+# Fixed tokenization length (reference: src/llm/hf.rs:62 — max_token_length=512,
+# PaddingStrategy::Fixed(512)). Fixed shapes are also what XLA wants.
+DEFAULT_MAX_TOKENS = 512
+# 10 MB file-read cap (reference: src/source.rs:36-39).
+DEFAULT_MAX_FILE_BYTES = 10 * 1024 * 1024
+
+
+@dataclass(frozen=True)
+class CorpusConfig:
+    """Which files to ingest (reference: src/main.rs:38-39, src/source.rs:8-49)."""
+
+    root: str = ".repos/jabref"
+    extensions: Tuple[str, ...] = ("java",)
+    max_file_bytes: int = DEFAULT_MAX_FILE_BYTES
+    #: Files per embedding batch ("chunk" in the reference = a batch of files,
+    #: reference: src/main.rs:40, src/mpi_helpers/tasks.rs:80-83).
+    files_per_batch: int = 32
+
+
+@dataclass(frozen=True)
+class EncoderConfig:
+    """Embedding model spec (reference: src/llm/hf.rs).
+
+    ``checkpoint_dir`` may point at a local HF-format export of
+    ``nomic-ai/nomic-embed-text-v1.5`` (config.json + weights + tokenizer).
+    When absent, the framework falls back to a deterministic hash encoder so
+    the full pipeline stays runnable hermetically — mirroring the reference's
+    artifact-gated model tests (src/llm/hf.rs:138-144).
+    """
+
+    name: str = "nomic-embed-text-v1.5"
+    checkpoint_dir: Optional[str] = None
+    dim: int = DEFAULT_DIM
+    max_tokens: int = DEFAULT_MAX_TOKENS
+    # NomicBERT architecture defaults (BERT-base sized backbone).
+    vocab_size: int = 30528
+    num_layers: int = 12
+    num_heads: int = 12
+    mlp_dim: int = 3072
+    type_vocab_size: int = 2
+    rotary_base: float = 1000.0
+    layer_norm_eps: float = 1e-12
+    #: "swiglu" (NomicBERT) or "gelu" (classic BERT).
+    activation: str = "swiglu"
+    #: Mean pooling over the attention mask, then L2-normalize.
+    pooling: str = "mean"
+    #: Matryoshka truncation: keep the first ``matryoshka_dim`` dims and
+    #: re-normalize (v1.5 is Matryoshka-trained). None = full ``dim``.
+    matryoshka_dim: Optional[int] = None
+    #: Compute dtype for the forward pass.
+    dtype: str = "bfloat16"
+    #: Batch size for the jitted forward (fixed shape for XLA cache hits).
+    batch_size: int = 32
+    #: "nomic" = real Flax model (random-init unless checkpoint_dir is set),
+    #: "hash" = deterministic hash encoder (hermetic tests/benches).
+    backend: str = "auto"
+
+
+@dataclass(frozen=True)
+class StoreConfig:
+    """Persistent vector store (reference: src/vectorstore/polars.rs, parquet
+    shards ``rank_{r}.parquet`` merged into ``global.parquet`` —
+    src/mpi_helpers/vectorstore.rs:5-20)."""
+
+    dir: str = ".volumes/vstore"
+    #: On-disk dtype. float32 matches the reference's List<f32> column.
+    dtype: str = "float32"
+
+
+@dataclass(frozen=True)
+class MeshConfig:
+    """Device mesh topology. Replaces MPI world/rank/size
+    (reference: src/main.rs:27-30).
+
+    ``shape=None`` puts every visible device on the ``data`` axis — the
+    TPU-native analogue of the reference's pure SPMD data parallelism
+    (SURVEY.md §2 "Parallelism strategies").
+    """
+
+    shape: Optional[Tuple[int, ...]] = None
+    axis_names: Tuple[str, ...] = ("data",)
+
+
+@dataclass(frozen=True)
+class SearchConfig:
+    """Exact top-k search (reference: src/mpi_helpers/metrics.rs:16-206)."""
+
+    top_k: int = 50
+    #: Index of the stored vector used as the self-retrieval query
+    #: (reference: src/main.rs:110-111).
+    query_idx: int = 0
+    #: Store rows scanned per scan step on each device.
+    chunk_rows: int = 16384
+    #: Column-block size for the hierarchical (block-max) merge.
+    row_block: int = 128
+    #: dtype the store shards are held in on device HBM.
+    store_dtype: str = "bfloat16"
+    #: Scores always accumulate in float32 on the MXU.
+    #: Search strategy: "scan" (direct chunked top-k), "blockmax"
+    #: (hierarchical two-stage, exact), "pallas" (fused kernel),
+    #: or "auto" (pick by k / backend).
+    kernel: str = "auto"
+
+
+@dataclass(frozen=True)
+class PipelineConfig:
+    """End-to-end pipeline (reference: src/main.rs:25-189)."""
+
+    corpus: CorpusConfig = field(default_factory=CorpusConfig)
+    encoder: EncoderConfig = field(default_factory=EncoderConfig)
+    store: StoreConfig = field(default_factory=StoreConfig)
+    mesh: MeshConfig = field(default_factory=MeshConfig)
+    search: SearchConfig = field(default_factory=SearchConfig)
+    #: Skip ingest+embed and serve search from the persisted global store
+    #: (reference: SKIP_PROCESS env, src/main.rs:42-45).
+    skip_process: bool = False
+
+    @staticmethod
+    def from_env() -> "PipelineConfig":
+        """Honour the reference's env knobs (src/main.rs:42-45) on top of
+        defaults."""
+        skip = os.environ.get("SKIP_PROCESS", "").lower() in ("1", "true", "yes")
+        return PipelineConfig(skip_process=skip)
+
+    def replace(self, **kwargs) -> "PipelineConfig":
+        return dataclasses.replace(self, **kwargs)
+
+
+def asdict(cfg) -> dict:
+    return dataclasses.asdict(cfg)

@@ -1,0 +1,203 @@
+"""Exact top-k primitives: serial oracle, streaming merge, per-shard scan.
+
+This replaces the reference's brute-force scan + hand-rolled distributed merge
+(reference: src/mpi_helpers/metrics.rs:16-171):
+
+* ``serial_topk``          — the NumPy serial-scan oracle. The reference's
+  sequential baseline and correctness oracle (``top_k_overlap(serial,
+  parallel) == 1.0``, src/metrics.rs:98-141) generalize to this function.
+* ``merge_topk``           — merge a candidate block into a running top-k.
+  Replaces sort-whole-candidate-list-then-truncate
+  (src/mpi_helpers/metrics.rs:141-171) with an O(k) carry.
+* ``local_topk``           — one device's scan over its row block: a
+  ``lax.scan`` whose body is an MXU matmul + top-k merge. Replaces the
+  per-row ``cosine_distance`` loop (src/mpi_helpers/metrics.rs:36-44).
+  Two merge strategies:
+
+  - ``"scan"``     — direct ``top_k(concat(carry, chunk_sims))``.
+  - ``"blockmax"`` — hierarchical exact two-stage: reduce the chunk to
+    per-128-row-block maxima, select the top-k blocks, and only sort the
+    selected blocks' scores. Exact for every input, including ties (see
+    proof in ``_merge_blockmax``), and much cheaper than a full sort when
+    ``k`` is small relative to the chunk.
+
+Ordering contract (matches the oracle): candidates sort by descending
+similarity, ties broken by **lowest global row index** — the discipline the
+reference gets from sorting distances then deduping on index
+(src/mpi_helpers/metrics.rs:153-168). ``lax.top_k`` returns the first
+occurrence among ties, and every concatenation in this module places
+lower-index candidates first, so the property holds end to end.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+#: Sentinel similarity for padded rows; any valid cosine similarity is >= -1.
+PAD_SIM = -3.0
+#: Row-block width for the hierarchical merge (TPU lane width).
+BLOCK = 128
+
+
+# ---------------------------------------------------------------------------
+# Serial oracle (NumPy)
+# ---------------------------------------------------------------------------
+
+
+def serial_topk(
+    store: np.ndarray, queries: np.ndarray, k: int, sims: np.ndarray | None = None
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Exact serial scan: ``(indices [Q, k'], distances [Q, k'])`` with
+    ``k' = min(k, N)``, distances ascending, ties by lowest index.
+
+    Semantics match the reference's sequential path: cosine distance with
+    zero-magnitude rows at distance 1.0 and similarities clamped to [-1, 1]
+    (src/metrics.rs:143-165), sorted ascending and truncated to k
+    (src/mpi_helpers/metrics.rs:47-50).
+
+    ``sims``: optionally supply precomputed ``[Q, N]`` similarities so the
+    oracle *selects* independently over the same scores the engine computes —
+    the same relationship the reference's parallel-vs-sequential check had
+    (both paths shared one scalar cosine kernel, src/metrics.rs:143).
+    """
+    store = np.asarray(store, dtype=np.float32)
+    queries = np.atleast_2d(np.asarray(queries, dtype=np.float32))
+    n = store.shape[0]
+    k_eff = min(k, n)
+
+    if sims is None:
+
+        def _norm(x):
+            norms = np.sqrt(np.sum(x * x, axis=-1, keepdims=True))
+            return x / np.where(norms == 0.0, 1.0, norms)
+
+        sims = _norm(queries) @ _norm(store).T
+    dist = 1.0 - np.clip(np.asarray(sims, dtype=np.float32), -1.0, 1.0)
+    order = np.argsort(dist, axis=1, kind="stable")[:, :k_eff]
+    return order.astype(np.int64), np.take_along_axis(dist, order, axis=1)
+
+
+# ---------------------------------------------------------------------------
+# Device-side merge primitives
+# ---------------------------------------------------------------------------
+
+
+def merge_topk(
+    carry_vals: jax.Array,
+    carry_ids: jax.Array,
+    new_vals: jax.Array,
+    new_ids: jax.Array,
+    k: int,
+) -> Tuple[jax.Array, jax.Array]:
+    """Merge ``[Q, M]`` candidates into a ``[Q, k]`` running top-k (by
+    descending value). The carry is concatenated first so earlier (lower
+    global index) candidates win ties."""
+    vals = jnp.concatenate([carry_vals, new_vals], axis=1)
+    ids = jnp.concatenate([carry_ids, new_ids], axis=1)
+    top_vals, pos = jax.lax.top_k(vals, k)
+    return top_vals, jnp.take_along_axis(ids, pos, axis=1)
+
+
+def _merge_blockmax(
+    carry_vals: jax.Array,
+    carry_ids: jax.Array,
+    sims: jax.Array,
+    gids: jax.Array,
+    k: int,
+) -> Tuple[jax.Array, jax.Array]:
+    """Hierarchical exact merge of a ``[Q, C]`` chunk (C a multiple of 128).
+
+    Stage 1 reduces the chunk to per-128-block maxima ``[Q, C/128]`` and
+    selects the top ``kb = min(k, C/128)`` blocks per query; stage 2 sorts
+    only the selected blocks' scores against the carry.
+
+    Exactness (including ties): any element e of the chunk that belongs to
+    the true top-k of (carry ∪ chunk) must come from a selected block.
+    Suppose e's block was not selected. Each of the kb = k selected blocks
+    has blockmax ≥ e's blockmax ≥ score(e); when equal, the selected block
+    has a lower block index (``top_k`` keeps the first occurrence among
+    ties), hence its max element has a lower global index than e. So the
+    selected blocks contain ≥ k elements that precede e in the
+    (score desc, index asc) order, and e cannot be in the top-k.
+    """
+    q, c = sims.shape
+    nb = c // BLOCK
+    kb = min(k, nb)
+    sims3 = sims.reshape(q, nb, BLOCK)
+    block_max = jnp.max(sims3, axis=2)  # [Q, NB]
+    _, block_ids = jax.lax.top_k(block_max, kb)  # [Q, kb]
+    # Gather selected blocks in ascending block-index order so the candidate
+    # list is globally index-ascending and top_k's first-occurrence rule
+    # resolves score ties to the lowest global index, exactly like the oracle.
+    block_ids = jnp.sort(block_ids, axis=1)
+    cand_vals = jnp.take_along_axis(
+        sims3, block_ids[:, :, None], axis=1
+    ).reshape(q, kb * BLOCK)
+    gids3 = jnp.broadcast_to(gids.reshape(1, nb, BLOCK), (q, nb, BLOCK))
+    cand_ids = jnp.take_along_axis(
+        gids3, block_ids[:, :, None], axis=1
+    ).reshape(q, kb * BLOCK)
+    return merge_topk(carry_vals, carry_ids, cand_vals, cand_ids, k)
+
+
+# ---------------------------------------------------------------------------
+# Per-device scan
+# ---------------------------------------------------------------------------
+
+
+def local_topk(
+    shard: jax.Array,
+    queries_cast: jax.Array,
+    k: int,
+    chunk: int,
+    base: jax.Array,
+    num_rows: int,
+    kernel: str = "scan",
+) -> Tuple[jax.Array, jax.Array]:
+    """One device's exact top-k over its ``[rows_local, D]`` block.
+
+    ``base`` is the device's global row offset (the ``global_idx =
+    start_index + i`` translation, reference: src/mpi_helpers/metrics.rs:41).
+    Rows with global index >= ``num_rows`` are padding and are masked to
+    ``PAD_SIM``. Returns ``(vals [Q, k], ids [Q, k])`` with vals descending.
+    """
+    rows_local, _d = shard.shape
+    if rows_local % chunk:
+        raise ValueError(f"rows_local {rows_local} not divisible by {chunk}")
+    n_chunks = rows_local // chunk
+    q = queries_cast.shape[0]
+
+    chunked = shard.reshape(n_chunks, chunk, shard.shape[1])
+    starts = jnp.arange(n_chunks, dtype=jnp.int32) * chunk
+    local_offsets = jnp.arange(chunk, dtype=jnp.int32)
+
+    def body(carry, xs):
+        c_vals, c_ids = carry
+        chunk_data, chunk_start = xs
+        sims = jnp.dot(
+            queries_cast, chunk_data.T, preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )  # [Q, chunk] f32 accumulation on the MXU
+        gids = base.astype(jnp.int32) + chunk_start + local_offsets
+        sims = jnp.where((gids < num_rows)[None, :], sims, PAD_SIM)
+        gids_b = jnp.broadcast_to(gids[None, :], sims.shape)
+        if kernel == "blockmax" and chunk % BLOCK == 0 and chunk // BLOCK > 1:
+            new = _merge_blockmax(c_vals, c_ids, sims, gids, k)
+        else:
+            new = merge_topk(c_vals, c_ids, sims, gids_b, k)
+        return new, None
+
+    # The carry must have the same varying-axes type as the scan body output;
+    # deriving it from ``base`` (device-varying inside shard_map, a plain
+    # scalar outside) keeps this function usable in both contexts.
+    base_i32 = base.astype(jnp.int32) if hasattr(base, "astype") else jnp.int32(base)
+    init = (
+        jnp.full((q, k), PAD_SIM, dtype=jnp.float32) + 0.0 * base_i32.astype(jnp.float32),
+        jnp.full((q, k), jnp.iinfo(jnp.int32).max, dtype=jnp.int32) - 0 * base_i32,
+    )
+    (vals, ids), _ = jax.lax.scan(body, init, (chunked, starts))
+    return vals, ids

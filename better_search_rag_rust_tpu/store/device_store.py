@@ -1,0 +1,115 @@
+"""Device-resident sharded embedding store.
+
+This is the TPU-native replacement for the reference's search-time store
+access: there, **every rank parses the entire global.parquet and then slices
+its block** (reference: src/mpi_helpers/metrics.rs:23-33 → polars.rs:50-77),
+so search memory is O(total rows) per process. Here the store lives in HBM as
+one block-sharded ``jax.Array`` over the mesh's ``data`` axis — each device
+holds only its contiguous row block (the ``interval_by_rank`` layout,
+reference: src/mpi_helpers/load_balance.rs:24-42, expressed as
+``NamedSharding(mesh, P("data", None))``).
+
+Rows are L2-normalized once at load (with the reference's zero-magnitude
+guard: zero rows stay zero so their cosine distance is 1.0 —
+src/metrics.rs:157-159) and stored in ``bfloat16`` by default; scoring then
+reduces to an MXU matmul with float32 accumulation.
+
+Padding discipline:
+* rows are padded so every device owns the same multiple of the scan chunk
+  (static shapes for XLA);
+* features are padded to a multiple of 128 (TPU lane width) with zeros, which
+  leaves dot products unchanged;
+* padded rows are masked to a sentinel similarity inside the kernel and can
+  never displace valid rows (see :mod:`..ops.topk`).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..parallel.partition import pad_to_multiple
+
+LANE = 128
+
+
+def _choose_chunk(per_device_target: int, chunk_rows: int) -> int:
+    """Scan-chunk size: at most ``chunk_rows``, at least one 128-row tile,
+    and small stores collapse to a single chunk."""
+    tile_rows = pad_to_multiple(per_device_target, LANE)
+    return min(chunk_rows, tile_rows)
+
+
+@partial(jax.jit, static_argnames=("dtype",), donate_argnums=(0,))
+def _normalize_cast(x: jax.Array, dtype: str) -> jax.Array:
+    """Row-wise L2 normalize in f32 with zero-guard, then cast."""
+    x = x.astype(jnp.float32)
+    norms = jnp.sqrt(jnp.sum(x * x, axis=-1, keepdims=True))
+    x = x / jnp.where(norms == 0.0, 1.0, norms)
+    return x.astype(dtype)
+
+
+@dataclass
+class DeviceStore:
+    """Normalized, padded, block-sharded embedding matrix in HBM."""
+
+    data: jax.Array  #: [padded_rows, padded_dim], normalized, store dtype
+    mesh: Mesh
+    num_rows: int  #: valid rows (un-padded)
+    dim: int  #: valid feature dim (un-padded)
+    per_device_rows: int
+    chunk: int  #: scan chunk; divides per_device_rows
+
+    @staticmethod
+    def from_host(
+        matrix: np.ndarray,
+        mesh: Mesh,
+        dtype: str = "bfloat16",
+        chunk_rows: int = 16384,
+        data_axis: str = "data",
+    ) -> "DeviceStore":
+        """Upload a host ``[N, D]`` float32 matrix as a normalized sharded
+        device store."""
+        if matrix.ndim != 2:
+            raise ValueError(f"expected [N, D], got {matrix.shape}")
+        n, d = matrix.shape
+        if n == 0:
+            raise ValueError("cannot build a device store from 0 rows")
+        n_shards = mesh.shape[data_axis]
+
+        chunk = _choose_chunk(-(-n // n_shards), chunk_rows)
+        per_dev = pad_to_multiple(-(-n // n_shards), chunk)
+        padded_rows = per_dev * n_shards
+        padded_dim = pad_to_multiple(d, LANE)
+
+        host = np.zeros((padded_rows, padded_dim), dtype=np.float32)
+        host[:n, :d] = matrix
+
+        spec = [None] * 2
+        spec[0] = data_axis
+        sharding = NamedSharding(mesh, P(*spec))
+        device_raw = jax.device_put(host, sharding)
+        # Elementwise normalize+cast preserves the block sharding (no comms).
+        arr = _normalize_cast(device_raw, dtype)
+        arr = jax.device_put(arr, sharding)
+        return DeviceStore(
+            data=arr,
+            mesh=mesh,
+            num_rows=n,
+            dim=d,
+            per_device_rows=per_dev,
+            chunk=chunk,
+        )
+
+    def effective_matrix(self) -> np.ndarray:
+        """The valid rows as host float32, **after** normalization and dtype
+        rounding — i.e. exactly what the engine scores against. This is the
+        "serial scan at equal memory" oracle input (BASELINE.json)."""
+        host = np.asarray(jax.device_get(self.data), dtype=np.float32)
+        return host[: self.num_rows, : self.dim]

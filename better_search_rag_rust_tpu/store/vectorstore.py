@@ -1,0 +1,248 @@
+"""Persistent Parquet-backed vector store.
+
+Capability parity with the reference's ``PolarsVectorstore``
+(reference: src/vectorstore/polars.rs:79-247) and shard naming helpers
+(reference: src/mpi_helpers/vectorstore.rs:5-20):
+
+* one column ``embeddings`` holding ``List<f32>`` rows (polars.rs:35-48);
+* ``new(path, empty)`` — fresh empty store, or load from Parquet, creating
+  parent dirs and an empty file when absent (polars.rs:50-77);
+* ``append`` / ``append_many`` / ``get`` / ``get_many(slice)`` / ``persist`` /
+  ``reload(force)`` / ``reset`` / ``count`` (polars.rs:79-247);
+* per-shard files ``rank_{r}.parquet`` merged into ``global.parquet`` in shard
+  order — the fixed order is what keeps local→global index translation valid
+  (src/mpi_helpers/tasks.rs:181-217).
+
+Implementation notes (TPU-first deviations):
+
+* Rows are held as contiguous ``float32`` numpy chunks, not a DataFrame —
+  ``matrix()`` hands the search engine a zero-copy-ish ``[N, D]`` array ready
+  for device upload, where the reference pays a per-row ``Vec<f32>``
+  extraction (polars.rs:121-169).
+* Parquet writes use a FixedSizeList column when all rows share one dim
+  (faster, typed); variable-length List columns are still read transparently
+  for compatibility.
+"""
+
+from __future__ import annotations
+
+import os
+from pathlib import Path
+from typing import List, Optional, Sequence, Tuple
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from ..utils.logging import host_log
+
+EMBEDDINGS_COLUMN = "embeddings"
+#: reference: src/mpi_helpers/vectorstore.rs:16-20
+GLOBAL_STORE_NAME = "global.parquet"
+
+
+def local_store_path(store_dir: str | os.PathLike, shard: int) -> Path:
+    """Per-shard file ``rank_{r}.parquet``
+    (reference: src/mpi_helpers/vectorstore.rs:5-13)."""
+    return Path(store_dir) / f"rank_{shard}.parquet"
+
+
+def global_store_path(store_dir: str | os.PathLike) -> Path:
+    """Merged store path (reference: src/mpi_helpers/vectorstore.rs:16-20)."""
+    return Path(store_dir) / GLOBAL_STORE_NAME
+
+
+class ParquetVectorStore:
+    """Append-only embedding store persisted as Parquet
+    (reference: src/vectorstore/polars.rs:7-247)."""
+
+    def __init__(self, path: str | os.PathLike, empty: bool = True):
+        """``empty=True`` starts fresh in memory; ``empty=False`` loads the
+        Parquet file, creating directories and an empty file when it does not
+        exist yet (reference: src/vectorstore/polars.rs:50-77)."""
+        self.path = Path(path)
+        self._chunks: List[np.ndarray] = []
+        self._count = 0
+        if not empty:
+            self._read_parquet(create_if_missing=True)
+
+    # -- internal -----------------------------------------------------------
+
+    def _read_parquet(self, create_if_missing: bool) -> None:
+        if not self.path.exists():
+            if not create_if_missing:
+                raise FileNotFoundError(self.path)
+            self.path.parent.mkdir(parents=True, exist_ok=True)
+            self._write_table(self._empty_table())
+            self._chunks, self._count = [], 0
+            return
+        if self.path.stat().st_size == 0:
+            # A zero-byte file is not valid Parquet; treat as empty store
+            # (the reference writes a real empty-frame Parquet file,
+            # polars.rs:62-72 — we do too, but tolerate foreign zero-byte
+            # files instead of crashing).
+            self._chunks, self._count = [], 0
+            return
+        table = pq.read_table(self.path, columns=[EMBEDDINGS_COLUMN])
+        col = table.column(EMBEDDINGS_COLUMN)
+        rows: List[np.ndarray] = []
+        for chunk in col.chunks:
+            if pa.types.is_fixed_size_list(chunk.type):
+                dim = chunk.type.list_size
+                flat = np.asarray(chunk.values, dtype=np.float32)
+                rows.append(flat.reshape(-1, dim))
+            else:
+                # Generic List<f32>: may be ragged in foreign files.
+                pylist = chunk.to_pylist()
+                for v in pylist:
+                    rows.append(np.asarray(v, dtype=np.float32).reshape(1, -1))
+        self._chunks = [r for r in rows if r.size]
+        self._count = sum(c.shape[0] for c in self._chunks)
+
+    def _empty_table(self) -> pa.Table:
+        typ = pa.list_(pa.float32())
+        return pa.table({EMBEDDINGS_COLUMN: pa.array([], type=typ)})
+
+    def _write_table(self, table: pa.Table) -> None:
+        self.path.parent.mkdir(parents=True, exist_ok=True)
+        pq.write_table(table, self.path)
+
+    # -- mutation ------------------------------------------------------------
+
+    def append(self, vector: Sequence[float]) -> None:
+        """Append one embedding row (reference: polars.rs:79-99)."""
+        arr = np.asarray(vector, dtype=np.float32).reshape(1, -1)
+        self._chunks.append(arr)
+        self._count += 1
+
+    def append_many(self, vectors) -> None:
+        """Append a batch of rows — ``[B, D]`` array or list of vectors
+        (reference: polars.rs:101-119)."""
+        if isinstance(vectors, np.ndarray):
+            if vectors.ndim != 2:
+                raise ValueError(f"expected [B, D], got shape {vectors.shape}")
+            if vectors.shape[0] == 0:
+                return
+            self._chunks.append(np.ascontiguousarray(vectors, dtype=np.float32))
+            self._count += vectors.shape[0]
+            return
+        vecs = [np.asarray(v, dtype=np.float32) for v in vectors]
+        if not vecs:
+            return
+        dims = {v.shape for v in vecs}
+        if len(dims) == 1:
+            self._chunks.append(np.stack(vecs))
+        else:
+            self._chunks.extend(v.reshape(1, -1) for v in vecs)
+        self._count += len(vecs)
+
+    def reset(self) -> None:
+        """Drop all in-memory rows (reference: polars.rs — ``reset``)."""
+        self._chunks = []
+        self._count = 0
+
+    # -- access ---------------------------------------------------------------
+
+    @property
+    def count(self) -> int:
+        """Row count (reference: polars.rs:243-246)."""
+        return self._count
+
+    def get_count(self) -> int:
+        return self._count
+
+    def matrix(self) -> np.ndarray:
+        """All rows as one contiguous ``[N, D]`` float32 matrix. Consolidates
+        chunks lazily. Empty store -> ``[0, 0]``."""
+        if not self._chunks:
+            return np.zeros((0, 0), dtype=np.float32)
+        if len(self._chunks) > 1:
+            dims = {c.shape[1] for c in self._chunks}
+            if len(dims) != 1:
+                raise ValueError(f"store holds mixed dims {sorted(dims)}")
+            self._chunks = [np.concatenate(self._chunks, axis=0)]
+        return self._chunks[0]
+
+    def get(self, index: int) -> np.ndarray:
+        """Random-access one row (reference: polars.rs:158-169)."""
+        if not 0 <= index < self._count:
+            raise IndexError(f"row {index} out of range for {self._count} rows")
+        return self.matrix()[index].copy()
+
+    def get_many(self, slice_args: Optional[Tuple[int, int]] = None) -> np.ndarray:
+        """Contiguous slice ``(offset, length)`` or all rows when ``None``
+        (reference: polars.rs:121-156)."""
+        mat = self.matrix()
+        if slice_args is None:
+            return mat
+        offset, length = slice_args
+        if offset < 0 or length < 0 or offset + length > self._count:
+            raise IndexError(
+                f"slice ({offset}, {length}) out of range for {self._count} rows"
+            )
+        return mat[offset : offset + length]
+
+    # -- persistence ----------------------------------------------------------
+
+    def persist(self) -> None:
+        """Write all rows to Parquet and verify the file exists
+        (reference: polars.rs:183-241)."""
+        mat = self.matrix()
+        if mat.size == 0:
+            table = self._empty_table()
+        else:
+            n, d = mat.shape
+            values = pa.array(mat.reshape(-1), type=pa.float32())
+            col = pa.FixedSizeListArray.from_arrays(values, d)
+            table = pa.table({EMBEDDINGS_COLUMN: col})
+        self._write_table(table)
+        if not self.path.exists():  # reference: polars.rs:232-239
+            raise IOError(f"persist failed: {self.path} missing after write")
+
+    def reload(self, force: bool = False) -> None:
+        """Re-read from disk. An empty/missing file raises unless ``force``
+        (reference: polars.rs:171-181)."""
+        exists = self.path.exists() and self.path.stat().st_size > 0
+        if not exists and not force:
+            raise IOError(f"reload: {self.path} is missing or empty")
+        self._chunks, self._count = [], 0
+        if self.path.exists():
+            self._read_parquet(create_if_missing=force)
+
+
+def local_store(
+    store_dir: str | os.PathLike, shard: int, empty: bool = True
+) -> ParquetVectorStore:
+    """Open shard ``shard``'s store
+    (reference: src/mpi_helpers/vectorstore.rs:5-13)."""
+    return ParquetVectorStore(local_store_path(store_dir, shard), empty=empty)
+
+
+def global_store(
+    store_dir: str | os.PathLike, empty: bool = True
+) -> ParquetVectorStore:
+    """Open the merged store
+    (reference: src/mpi_helpers/vectorstore.rs:16-20)."""
+    return ParquetVectorStore(global_store_path(store_dir), empty=empty)
+
+
+def merge_vector_stores(
+    num_shards: int, store_dir: str | os.PathLike
+) -> ParquetVectorStore:
+    """Merge per-shard stores into the global store **in shard order** — the
+    fixed order keeps local→global index translation valid
+    (reference: src/mpi_helpers/tasks.rs:181-217). Empty or unreadable shards
+    are logged and skipped (tasks.rs:202-212). Caller persists."""
+    merged = global_store(store_dir, empty=True)
+    for shard in range(num_shards):
+        path = local_store_path(store_dir, shard)
+        try:
+            shard_store = ParquetVectorStore(path, empty=False)
+        except Exception as exc:  # unreadable shard: log and continue
+            host_log(f"merge: skipping shard {shard} ({path}): {exc}")
+            continue
+        if shard_store.count == 0:
+            host_log(f"merge: shard {shard} is empty, skipping")
+            continue
+        merged.append_many(shard_store.get_many(None))
+    return merged

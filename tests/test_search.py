@@ -1,0 +1,158 @@
+"""Exact search engine tests: the engine must match the serial-scan oracle
+with top-k overlap 1.0 — the reference's parallel-vs-sequential exactness
+check (src/metrics.rs:98-141), run here on an emulated 8-device mesh."""
+
+import numpy as np
+import pytest
+
+from better_search_rag_rust_tpu.config import SearchConfig
+from better_search_rag_rust_tpu.metrics import top_k_overlap
+from better_search_rag_rust_tpu.ops import SearchEngine, serial_topk
+from better_search_rag_rust_tpu.store import DeviceStore
+from better_search_rag_rust_tpu.utils.testing import mock_embeddings
+
+
+def _engine(mesh, n, dim=64, dtype="float32", seed=0, kernel="auto", chunk_rows=256):
+    mat = mock_embeddings(n, dim=dim, seed=seed)
+    store = DeviceStore.from_host(mat, mesh, dtype=dtype, chunk_rows=chunk_rows)
+    cfg = SearchConfig(kernel=kernel, chunk_rows=chunk_rows)
+    return mat, SearchEngine(store, cfg)
+
+
+def _assert_matches_oracle(engine, queries, k):
+    """Engine vs serial oracle: exact overlap over shared scoring arithmetic
+    (the reference's parallel-vs-serial relationship), plus a tolerance-aware
+    cross-check against an independent pure-NumPy scan (whose matmul sums in
+    a different order, so ulp-level near-ties may legitimately reorder)."""
+    ids, dists = engine.search(queries, k)
+    o_ids, o_dists = engine.oracle_topk(queries, k)
+    assert ids.shape == o_ids.shape
+    assert (
+        top_k_overlap(o_ids.tolist(), ids.tolist(), k=ids.shape[1]) == 1.0
+    ), f"engine {ids[:2]} vs oracle {o_ids[:2]}"
+    np.testing.assert_array_equal(ids, o_ids)
+    np.testing.assert_allclose(dists, o_dists, atol=1e-6)
+
+    np_ids, np_dists = serial_topk(
+        engine.effective_store(), engine.effective_queries(queries), k
+    )
+    # backend accumulation for bf16 operands differs from numpy f32 by more
+    # than f32 ulp; the exactness contract above is the authoritative check
+    atol = 1e-5 if engine.store.data.dtype == np.float32 else 4e-3
+    np.testing.assert_allclose(dists, np_dists, atol=atol)
+    assert top_k_overlap(np_ids.tolist(), ids.tolist(), k=ids.shape[1]) > 0.9
+    return ids, dists
+
+
+@pytest.mark.parametrize("kernel", ["scan", "blockmax"])
+def test_exact_vs_oracle_f32(mesh8, kernel):
+    mat, engine = _engine(mesh8, n=999, kernel=kernel)
+    queries = mock_embeddings(8, dim=64, seed=42)
+    _assert_matches_oracle(engine, queries, k=10)
+
+
+def test_exact_vs_oracle_k50(mesh8):
+    mat, engine = _engine(mesh8, n=2305, seed=7)  # JabRef-sized corpus
+    queries = mock_embeddings(4, dim=64, seed=11)
+    _assert_matches_oracle(engine, queries, k=50)
+
+
+def test_self_retrieval(mesh8):
+    """Stored vector 0 as the query must retrieve itself at rank 1 — the
+    reference driver's accuracy check (src/main.rs:110-155)."""
+    mat, engine = _engine(mesh8, n=500, seed=3)
+    ids, dists = engine.search(mat[0], k=10)
+    assert ids[0, 0] == 0
+    assert dists[0, 0] == pytest.approx(0.0, abs=1e-5)
+
+
+def test_single_query_api(mesh8):
+    mat, engine = _engine(mesh8, n=100, seed=5)
+    results = engine.search_single(mat[17], k=5)
+    assert len(results) == 5
+    assert results[0][0] == 17
+
+
+def test_k_clamped_to_row_count(mesh8):
+    mat, engine = _engine(mesh8, n=7, seed=9)
+    ids, dists = engine.search(mock_embeddings(2, dim=64, seed=1), k=50)
+    assert ids.shape == (2, 7)
+    # no padded rows may leak out
+    assert ids.max() < 7
+
+
+def test_more_devices_than_meaningful_rows(mesh8):
+    # 3 rows over 8 devices — the reference panics here
+    # (src/mpi_helpers/metrics.rs:27 has no rank>=rows guard)
+    mat, engine = _engine(mesh8, n=3, seed=2)
+    ids, dists = engine.search(mat[1], k=3)
+    assert ids[0, 0] == 1
+    assert sorted(ids[0].tolist()) == [0, 1, 2]
+
+
+def test_duplicate_rows_tie_break_by_lowest_index(mesh8):
+    """Exact ties must resolve to the lowest store row index, matching the
+    oracle (reference dedups on index, src/mpi_helpers/metrics.rs:156-168)."""
+    base = mock_embeddings(64, dim=32, seed=21)
+    # duplicate row 5 at positions scattered across shards
+    mat = base.copy()
+    for pos in (13, 29, 47, 61):
+        mat[pos] = mat[5]
+    store = DeviceStore.from_host(mat, mesh8, dtype="float32", chunk_rows=128)
+    engine = SearchEngine(store, SearchConfig(kernel="scan"))
+    ids, dists = engine.search(mat[5], k=5)
+    assert ids[0].tolist() == [5, 13, 29, 47, 61]
+
+    engine_bm = SearchEngine(store, SearchConfig(kernel="blockmax"))
+    ids_bm, _ = engine_bm.search(mat[5], k=5)
+    assert ids_bm[0].tolist() == [5, 13, 29, 47, 61]
+
+
+def test_zero_store_rows_have_distance_one(mesh8):
+    mat = mock_embeddings(32, dim=16, seed=4)
+    mat[10] = 0.0  # zero-magnitude row => distance 1.0 (src/metrics.rs:157-159)
+    store = DeviceStore.from_host(mat, mesh8, dtype="float32")
+    engine = SearchEngine(store)
+    ids, dists = engine.search(mat[0], k=32)
+    pos = ids[0].tolist().index(10)
+    assert dists[0, pos] == pytest.approx(1.0, abs=1e-6)
+
+
+def test_zero_query_all_distances_one(mesh8):
+    mat, engine = _engine(mesh8, n=20, dim=16, seed=6)
+    ids, dists = engine.search(np.zeros(16, dtype=np.float32), k=20)
+    np.testing.assert_allclose(dists[0], 1.0, atol=1e-6)
+    # ties at distance 1.0 resolve to ascending index, like the oracle
+    assert ids[0].tolist() == list(range(20))
+
+
+def test_bf16_store_matches_equal_memory_oracle(mesh8):
+    """bf16 shards in HBM with f32 accumulation must match a serial f32 scan
+    over the same bf16-rounded data (BASELINE.json equal-memory harness)."""
+    mat, engine = _engine(mesh8, n=512, dtype="bfloat16", seed=8)
+    queries = mock_embeddings(4, dim=64, seed=13)
+    _assert_matches_oracle(engine, queries, k=10)
+
+
+def test_single_device_mesh(mesh1):
+    mat, engine = _engine(mesh1, n=333, seed=14)
+    queries = mock_embeddings(3, dim=64, seed=15)
+    _assert_matches_oracle(engine, queries, k=10)
+
+
+def test_blockmax_equals_scan(mesh8):
+    mat = mock_embeddings(1024, dim=32, seed=17)
+    store = DeviceStore.from_host(mat, mesh8, dtype="float32", chunk_rows=256)
+    queries = mock_embeddings(5, dim=32, seed=18)
+    ids_a, d_a = SearchEngine(store, SearchConfig(kernel="scan")).search(queries, 20)
+    ids_b, d_b = SearchEngine(store, SearchConfig(kernel="blockmax")).search(
+        queries, 20
+    )
+    np.testing.assert_array_equal(ids_a, ids_b)
+    np.testing.assert_allclose(d_a, d_b, atol=1e-7)
+
+
+def test_query_dim_mismatch_raises(mesh8):
+    mat, engine = _engine(mesh8, n=10, dim=64)
+    with pytest.raises(ValueError):
+        engine.search(np.zeros(32, dtype=np.float32), k=3)
