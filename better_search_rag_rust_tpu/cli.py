@@ -1,0 +1,167 @@
+"""Command-line interface.
+
+The reference has no CLI at all — its knobs are compile-time constants
+(``extensions``, ``dir``, ``chunk_size``, ``top_k``, ``query_idx``,
+reference: src/main.rs:38-45) and env vars (``SKIP_PROCESS``, ``N``,
+makefile:1), and the README literally says "adjust the chunk size in main.rs"
+(README.md:167). Every one of those knobs is a flag here.
+
+Subcommands:
+
+* ``run``     — the full pipeline (≙ ``mpiexec -n N better-search-rag-rust``)
+* ``ingest``  — embed + persist shards + merge only
+* ``search``  — serve search from the persisted store (≙ ``SKIP_PROCESS=true``)
+* ``bench``   — the performance benchmark suite (see :mod:`.bench.suite`)
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+from typing import Optional, Sequence
+
+from .config import (
+    CorpusConfig,
+    EncoderConfig,
+    MeshConfig,
+    PipelineConfig,
+    SearchConfig,
+    StoreConfig,
+)
+
+
+def _add_common(p: argparse.ArgumentParser) -> None:
+    corp = p.add_argument_group("corpus")
+    corp.add_argument("--root", default=".repos/jabref",
+                      help="corpus directory (reference: src/main.rs:39)")
+    corp.add_argument("--extensions", default="java",
+                      help="comma-separated extensions (src/main.rs:38)")
+    corp.add_argument("--files-per-batch", type=int, default=32,
+                      help="files per embedding batch (src/main.rs:40)")
+    corp.add_argument("--max-file-mb", type=float, default=10.0,
+                      help="per-file read cap in MB (src/source.rs:36-39)")
+
+    enc = p.add_argument_group("encoder")
+    enc.add_argument("--encoder-backend", default="auto",
+                     choices=["auto", "nomic", "hash"])
+    enc.add_argument("--checkpoint-dir", default=None,
+                     help="local HF export of nomic-embed-text-v1.5")
+    enc.add_argument("--dim", type=int, default=768)
+    enc.add_argument("--max-tokens", type=int, default=512)
+    enc.add_argument("--encode-batch-size", type=int, default=32)
+    enc.add_argument("--matryoshka-dim", type=int, default=None,
+                     help="truncate embeddings to this dim and re-normalize")
+
+    st = p.add_argument_group("store")
+    st.add_argument("--store-dir", default=".volumes/vstore",
+                    help="vector store directory (src/main.rs:41)")
+
+    srch = p.add_argument_group("search")
+    srch.add_argument("--top-k", type=int, default=50,
+                      help="(src/main.rs:110)")
+    srch.add_argument("--query-idx", type=int, default=0,
+                      help="self-retrieval query row (src/main.rs:111)")
+    srch.add_argument("--store-dtype", default="bfloat16",
+                      choices=["bfloat16", "float32"])
+    srch.add_argument("--chunk-rows", type=int, default=16384)
+    srch.add_argument("--search-kernel", default="auto",
+                      choices=["auto", "scan", "blockmax", "pallas"])
+
+
+def _config_from_args(args, skip_process: bool) -> PipelineConfig:
+    return PipelineConfig(
+        corpus=CorpusConfig(
+            root=args.root,
+            extensions=tuple(
+                e.strip() for e in args.extensions.split(",") if e.strip()
+            ),
+            max_file_bytes=int(args.max_file_mb * 1024 * 1024),
+            files_per_batch=args.files_per_batch,
+        ),
+        encoder=EncoderConfig(
+            backend=args.encoder_backend,
+            checkpoint_dir=args.checkpoint_dir,
+            dim=args.dim,
+            max_tokens=args.max_tokens,
+            batch_size=args.encode_batch_size,
+            matryoshka_dim=args.matryoshka_dim,
+        ),
+        store=StoreConfig(dir=args.store_dir),
+        mesh=MeshConfig(),
+        search=SearchConfig(
+            top_k=args.top_k,
+            query_idx=args.query_idx,
+            store_dtype=args.store_dtype,
+            chunk_rows=args.chunk_rows,
+            kernel=args.search_kernel,
+        ),
+        skip_process=skip_process,
+    )
+
+
+def _print_result(result) -> None:
+    # ≙ print_top_k_results + accuracy print (reference: src/main.rs:142-163,
+    # src/mpi_helpers/metrics.rs:209-214)
+    print(f"\nTop-{len(result.top_k)} results (store row, cosine distance):")
+    for rank, (idx, dist) in enumerate(result.top_k[:10], 1):
+        print(f"  {rank:>3}. row {idx:>8}  dist {dist:.6f}")
+    if len(result.top_k) > 10:
+        print(f"  ... ({len(result.top_k) - 10} more)")
+    print(
+        f"\nAccuracy: MRR={result.mrr:.4f} "
+        f"Recall@k={result.recall:.4f} overlap={result.overlap:.4f}"
+    )
+    print(result.report)
+
+
+def main(argv: Optional[Sequence[str]] = None) -> int:
+    parser = argparse.ArgumentParser(
+        prog="bsr-tpu",
+        description="TPU-native exact top-k retrieval framework",
+    )
+    sub = parser.add_subparsers(dest="command", required=True)
+
+    for name, desc in [
+        ("run", "full pipeline: ingest + merge + search + report"),
+        ("ingest", "embed the corpus and persist the global store"),
+        ("search", "serve search from the persisted store (SKIP_PROCESS=true)"),
+    ]:
+        sp = sub.add_parser(name, help=desc)
+        _add_common(sp)
+
+    bp = sub.add_parser("bench", help="performance benchmark suite")
+    bp.add_argument("--suite", default="search_1m",
+                    help="benchmark config name (see bench/suite.py)")
+    bp.add_argument("--json", action="store_true", dest="as_json")
+
+    args = parser.parse_args(argv)
+
+    if args.command == "bench":
+        from .bench.suite import run_suite
+
+        result = run_suite(args.suite)
+        print(json.dumps(result) if args.as_json else result)
+        return 0
+
+    from .pipeline import Pipeline
+
+    cfg = _config_from_args(args, skip_process=(args.command == "search"))
+    pipeline = Pipeline(cfg)
+    if args.command == "ingest":
+        stats = pipeline.ingest_shard()
+        pipeline.merge()
+        print(
+            f"ingested {stats.embeddings} embeddings "
+            f"from {stats.files_read} files ({stats.files_skipped} skipped)"
+        )
+        print(pipeline.bench.generate_report())
+        return 0
+
+    result = pipeline.run()
+    _print_result(result)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,132 @@
+"""Encoder service — the framework's ``LlmService`` equivalent.
+
+The reference defines a two-method backend trait (constructor + batch embed,
+reference: src/llm/mod.rs:5-13) and one implementation (ONNX HfService,
+src/llm/hf.rs). Here the service composes a tokenizer with a jitted forward
+and enforces the reference's embedding contract (SURVEY.md §3.5):
+
+* empty input -> ``[0, dim]`` (src/llm/hf.rs:51-53);
+* any empty string in the batch -> error "Invalid inputs: has empty values"
+  (src/llm/hf.rs:54-56);
+* fixed 512-token right-padding, pad id 0 (src/llm/hf.rs:62-79);
+* one f32 embedding row per input text (src/llm/hf.rs:118-123).
+
+TPU addition: inputs are re-batched to a *fixed* ``batch_size`` (last batch
+zero-padded, rows sliced off after the forward) so XLA compiles the forward
+exactly once — the reference instead pays a new ONNX shape per ragged batch.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Protocol, Sequence
+
+import numpy as np
+
+from ..config import EncoderConfig
+from ..utils.logging import host_log
+from .hash_encoder import HashEncoder
+from .nomic import NomicBertConfig, NomicEncoder, load_hf_checkpoint
+from .tokenizer import load_tokenizer
+
+
+class TokenEncoder(Protocol):
+    def encode_tokens(
+        self, input_ids: np.ndarray, attention_mask: np.ndarray
+    ) -> np.ndarray: ...
+
+
+class EncoderService:
+    """Batch text embedding with fixed-shape device batches
+    (≙ trait ``LlmService``, reference: src/llm/mod.rs:5-13)."""
+
+    def __init__(
+        self,
+        tokenizer,
+        encoder: TokenEncoder,
+        dim: int,
+        batch_size: int = 32,
+    ):
+        self.tokenizer = tokenizer
+        self.encoder = encoder
+        self.dim = dim
+        self.batch_size = batch_size
+
+    def get_embeddings(self, texts: Sequence[str]) -> np.ndarray:
+        """``texts -> [len(texts), dim]`` float32
+        (reference: src/llm/hf.rs:50-124)."""
+        n = len(texts)
+        if n == 0:
+            return np.zeros((0, self.dim), dtype=np.float32)
+        ids, mask = self.tokenizer.encode_batch(texts)  # raises on empty text
+
+        bs = self.batch_size
+        padded_n = -(-n // bs) * bs
+        if padded_n != n:
+            pad_rows = padded_n - n
+            ids = np.concatenate(
+                [ids, np.zeros((pad_rows, ids.shape[1]), dtype=ids.dtype)]
+            )
+            # Padding rows get an all-zero mask; mean-pool guards divide-by-0.
+            mask = np.concatenate(
+                [mask, np.zeros((pad_rows, mask.shape[1]), dtype=mask.dtype)]
+            )
+
+        out = np.empty((padded_n, self.dim), dtype=np.float32)
+        for start in range(0, padded_n, bs):
+            out[start : start + bs] = self.encoder.encode_tokens(
+                ids[start : start + bs], mask[start : start + bs]
+            )
+        return out[:n]
+
+
+def create_encoder(cfg: Optional[EncoderConfig] = None) -> EncoderService:
+    """Backend selection (``cfg.backend``):
+
+    * ``"nomic"`` — Flax NomicBERT; loads the local HF checkpoint when
+      ``cfg.checkpoint_dir`` is set, otherwise random-init (shape-correct).
+    * ``"hash"``  — deterministic hermetic encoder.
+    * ``"auto"``  — nomic when a checkpoint dir is configured and exists,
+      else hash (artifact-gated, reference: src/llm/hf.rs:138-144).
+    """
+    cfg = cfg or EncoderConfig()
+    backend = cfg.backend
+    if backend == "auto":
+        import os
+
+        backend = (
+            "nomic"
+            if cfg.checkpoint_dir and os.path.isdir(cfg.checkpoint_dir)
+            else "hash"
+        )
+
+    if backend == "hash":
+        enc = HashEncoder(
+            dim=cfg.matryoshka_dim or cfg.dim,
+            max_tokens=cfg.max_tokens,
+            vocab_size=cfg.vocab_size,
+            dtype=cfg.dtype,
+        )
+        return EncoderService(
+            enc.tokenizer, enc, enc.dim, batch_size=cfg.batch_size
+        )
+
+    if backend == "nomic":
+        model_cfg = NomicBertConfig.from_encoder_config(cfg)
+        params = None
+        if cfg.checkpoint_dir:
+            try:
+                model_cfg, params = load_hf_checkpoint(
+                    cfg.checkpoint_dir, model_cfg
+                )
+                host_log(f"loaded nomic checkpoint from {cfg.checkpoint_dir}")
+            except FileNotFoundError as exc:
+                host_log(f"checkpoint missing ({exc}); using random init")
+        enc = NomicEncoder(
+            model_cfg, params=params, matryoshka_dim=cfg.matryoshka_dim
+        )
+        tokenizer = load_tokenizer(
+            cfg.checkpoint_dir, cfg.max_tokens, cfg.vocab_size
+        )
+        return EncoderService(tokenizer, enc, enc.dim, batch_size=cfg.batch_size)
+
+    raise ValueError(f"unknown encoder backend {backend!r}")

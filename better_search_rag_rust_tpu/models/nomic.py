@@ -1,0 +1,487 @@
+"""NomicBERT (``nomic-embed-text-v1.5``) as a native Flax/JAX module.
+
+This replaces the reference's ONNX-Runtime encoder (reference:
+src/llm/hf.rs:8-125 — session load at :8-19, CUDA EP at :34, batch forward at
+:50-124). Instead of shipping a frozen ONNX graph, the architecture is
+implemented directly so XLA can fuse, shard and bf16 it for the MXU:
+
+* BERT-base backbone: 12 layers, 768 hidden, 12 heads, post-LayerNorm
+  residuals (eps 1e-12), vocab 30528, type vocab 2;
+* **rotary position embeddings** (base 1000, full fraction, NeoX-style
+  rotate-halves) instead of learned absolute positions;
+* **SwiGLU MLP** (fc11 ⊙ silu(fc12) → fc2, 3072 inner);
+* no biases on the QKV and MLP input projections (the checkpoint has none);
+* mean pooling over the attention mask + L2 normalization, with optional
+  Matryoshka truncation (v1.5 is Matryoshka-trained: layer-norm, slice to
+  ``matryoshka_dim``, re-normalize).
+
+Weights load from a local HF checkpoint export via
+:func:`load_hf_checkpoint`; with no checkpoint the module still runs
+(random init) so shape/sharding tests and benchmarks are hermetic — the same
+artifact-gated discipline as the reference's model tests
+(src/llm/hf.rs:138-144).
+
+The forward is shape-static: ``[B, max_tokens]`` int32 ids + mask, exactly the
+reference's fixed right-padding to 512 (src/llm/hf.rs:62-79), which is also
+what the XLA compile cache wants.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+from dataclasses import dataclass
+from pathlib import Path
+from typing import Any, Dict, Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import EncoderConfig
+
+
+@dataclass(frozen=True)
+class NomicBertConfig:
+    """Architecture hyperparameters (defaults = nomic-embed-text-v1.5)."""
+
+    vocab_size: int = 30528
+    hidden_size: int = 768
+    num_layers: int = 12
+    num_heads: int = 12
+    mlp_dim: int = 3072
+    max_tokens: int = 512
+    type_vocab_size: int = 2
+    rotary_base: float = 1000.0
+    layer_norm_eps: float = 1e-12
+    activation: str = "swiglu"  # "swiglu" | "gelu"
+    qkv_bias: bool = False
+    mlp_bias: bool = False
+    dtype: Any = jnp.bfloat16
+
+    @property
+    def head_dim(self) -> int:
+        return self.hidden_size // self.num_heads
+
+    @staticmethod
+    def from_encoder_config(cfg: EncoderConfig) -> "NomicBertConfig":
+        return NomicBertConfig(
+            vocab_size=cfg.vocab_size,
+            hidden_size=cfg.dim,
+            num_layers=cfg.num_layers,
+            num_heads=cfg.num_heads,
+            mlp_dim=cfg.mlp_dim,
+            max_tokens=cfg.max_tokens,
+            type_vocab_size=cfg.type_vocab_size,
+            rotary_base=cfg.rotary_base,
+            layer_norm_eps=cfg.layer_norm_eps,
+            activation=cfg.activation,
+            dtype=jnp.dtype(cfg.dtype),
+        )
+
+
+# ---------------------------------------------------------------------------
+# Rotary embeddings
+# ---------------------------------------------------------------------------
+
+
+def rotary_tables(
+    seq_len: int, head_dim: int, base: float
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Static ``(cos [S, D/2], sin [S, D/2])`` tables — computed once on host,
+    closed over by the jitted forward (static shapes, no recompute)."""
+    inv_freq = 1.0 / (base ** (np.arange(0, head_dim, 2, dtype=np.float64) / head_dim))
+    t = np.arange(seq_len, dtype=np.float64)
+    freqs = np.outer(t, inv_freq)  # [S, D/2]
+    return np.cos(freqs).astype(np.float32), np.sin(freqs).astype(np.float32)
+
+
+def apply_rotary(
+    x: jax.Array, cos: jax.Array, sin: jax.Array
+) -> jax.Array:
+    """NeoX-style (rotate-halves, non-interleaved) rotary on ``[B, S, H, D]``.
+
+    The checkpoint was trained with flash-attn's ``RotaryEmbedding``
+    (interleaved=False), which splits the head dim into two halves.
+    """
+    d2 = x.shape[-1] // 2
+    x1, x2 = x[..., :d2], x[..., d2:]
+    # cos/sin: [S, D/2] -> broadcast over batch and heads.
+    cos = cos[None, :, None, :].astype(x.dtype)
+    sin = sin[None, :, None, :].astype(x.dtype)
+    return jnp.concatenate(
+        [x1 * cos - x2 * sin, x2 * cos + x1 * sin], axis=-1
+    )
+
+
+# ---------------------------------------------------------------------------
+# Flax modules
+# ---------------------------------------------------------------------------
+
+
+class NomicAttention(nn.Module):
+    config: NomicBertConfig
+
+    @nn.compact
+    def __call__(self, x: jax.Array, mask_bias: jax.Array, cos, sin) -> jax.Array:
+        cfg = self.config
+        b, s, d = x.shape
+        h, hd = cfg.num_heads, cfg.head_dim
+
+        qkv = nn.Dense(
+            3 * d, use_bias=cfg.qkv_bias, dtype=cfg.dtype, name="Wqkv"
+        )(x)
+        qkv = qkv.reshape(b, s, 3, h, hd)
+        q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
+        q = apply_rotary(q, cos, sin)
+        k = apply_rotary(k, cos, sin)
+
+        # [B, H, S, S] logits accumulated in f32 on the MXU.
+        logits = jnp.einsum(
+            "bshd,bthd->bhst", q, k, preferred_element_type=jnp.float32
+        ) / math.sqrt(hd)
+        logits = logits + mask_bias  # [B, 1, 1, S] additive key-padding bias
+        probs = jax.nn.softmax(logits, axis=-1).astype(cfg.dtype)
+        ctx = jnp.einsum(
+            "bhst,bthd->bshd", probs, v, preferred_element_type=jnp.float32
+        ).astype(cfg.dtype)
+        ctx = ctx.reshape(b, s, d)
+        return nn.Dense(d, use_bias=True, dtype=cfg.dtype, name="out_proj")(ctx)
+
+
+class NomicMlp(nn.Module):
+    config: NomicBertConfig
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        cfg = self.config
+        d = cfg.hidden_size
+        if cfg.activation == "swiglu":
+            y = nn.Dense(cfg.mlp_dim, use_bias=cfg.mlp_bias, dtype=cfg.dtype,
+                         name="fc11")(x)
+            gate = nn.Dense(cfg.mlp_dim, use_bias=cfg.mlp_bias, dtype=cfg.dtype,
+                            name="fc12")(x)
+            y = y * jax.nn.silu(gate)
+        else:
+            y = nn.Dense(cfg.mlp_dim, use_bias=True, dtype=cfg.dtype,
+                         name="fc1")(x)
+            y = jax.nn.gelu(y, approximate=False)
+        return nn.Dense(d, use_bias=True, dtype=cfg.dtype, name="fc2")(y)
+
+
+class NomicLayer(nn.Module):
+    """Post-LN transformer block: x = LN1(x + attn(x)); x = LN2(x + mlp(x))."""
+
+    config: NomicBertConfig
+
+    @nn.compact
+    def __call__(self, x, mask_bias, cos, sin):
+        cfg = self.config
+        attn_out = NomicAttention(cfg, name="attn")(x, mask_bias, cos, sin)
+        x = nn.LayerNorm(
+            epsilon=cfg.layer_norm_eps, dtype=jnp.float32, name="norm1"
+        )((x + attn_out).astype(jnp.float32)).astype(cfg.dtype)
+        mlp_out = NomicMlp(cfg, name="mlp")(x)
+        x = nn.LayerNorm(
+            epsilon=cfg.layer_norm_eps, dtype=jnp.float32, name="norm2"
+        )((x + mlp_out).astype(jnp.float32)).astype(cfg.dtype)
+        return x
+
+
+class NomicBertModel(nn.Module):
+    """Token ids + mask -> final hidden states ``[B, S, D]``."""
+
+    config: NomicBertConfig
+
+    @nn.compact
+    def __call__(self, input_ids: jax.Array, attention_mask: jax.Array):
+        cfg = self.config
+        cos_np, sin_np = rotary_tables(
+            input_ids.shape[1], cfg.head_dim, cfg.rotary_base
+        )
+        cos, sin = jnp.asarray(cos_np), jnp.asarray(sin_np)
+
+        tok = nn.Embed(
+            cfg.vocab_size, cfg.hidden_size, dtype=cfg.dtype,
+            name="word_embeddings",
+        )(input_ids)
+        # All real tokens are type 0 for retrieval encoding; keep the table so
+        # checkpoint weights load and the op stays (embed row 0 broadcast).
+        typ = nn.Embed(
+            cfg.type_vocab_size, cfg.hidden_size, dtype=cfg.dtype,
+            name="token_type_embeddings",
+        )(jnp.zeros_like(input_ids))
+        x = nn.LayerNorm(
+            epsilon=cfg.layer_norm_eps, dtype=jnp.float32, name="emb_norm"
+        )((tok + typ).astype(jnp.float32)).astype(cfg.dtype)
+
+        # Additive key-padding bias: 0 where attendable, -inf-ish where pad.
+        neg = jnp.asarray(-1e9, dtype=jnp.float32)
+        mask_bias = jnp.where(attention_mask[:, None, None, :] > 0, 0.0, neg)
+
+        for i in range(cfg.num_layers):
+            x = NomicLayer(cfg, name=f"layer_{i}")(x, mask_bias, cos, sin)
+        return x
+
+
+def mean_pool(hidden: jax.Array, attention_mask: jax.Array) -> jax.Array:
+    """Masked mean over the sequence axis, in f32
+    (nomic's ``mean_pooling``). ``[B, S, D] -> [B, D]``."""
+    m = attention_mask.astype(jnp.float32)[:, :, None]
+    summed = jnp.sum(hidden.astype(jnp.float32) * m, axis=1)
+    denom = jnp.maximum(jnp.sum(m, axis=1), 1.0)
+    return summed / denom
+
+
+def finalize_embeddings(
+    pooled: jax.Array, matryoshka_dim: Optional[int] = None
+) -> jax.Array:
+    """v1.5 post-processing: layer-norm, optional Matryoshka slice, then
+    L2-normalize — all in f32."""
+    x = pooled.astype(jnp.float32)
+    mu = jnp.mean(x, axis=-1, keepdims=True)
+    var = jnp.var(x, axis=-1, keepdims=True)
+    x = (x - mu) * jax.lax.rsqrt(var + 1e-12)
+    if matryoshka_dim is not None and matryoshka_dim < x.shape[-1]:
+        x = x[:, :matryoshka_dim]
+    norms = jnp.sqrt(jnp.sum(x * x, axis=-1, keepdims=True))
+    return x / jnp.where(norms == 0.0, 1.0, norms)
+
+
+class NomicEncoder:
+    """Jitted text-encoder head around :class:`NomicBertModel`.
+
+    Produces one embedding row per input text — the reference's contract of
+    "[B, 768] f32, one row per file, truncated at 512 tokens"
+    (src/llm/hf.rs:112-123)."""
+
+    def __init__(
+        self,
+        config: NomicBertConfig,
+        params: Optional[Dict] = None,
+        matryoshka_dim: Optional[int] = None,
+        seed: int = 0,
+    ):
+        self.config = config
+        self.model = NomicBertModel(config)
+        if params is None:
+            dummy_ids = jnp.zeros((1, config.max_tokens), dtype=jnp.int32)
+            dummy_mask = jnp.ones((1, config.max_tokens), dtype=jnp.int32)
+            params = self.model.init(
+                jax.random.PRNGKey(seed), dummy_ids, dummy_mask
+            )["params"]
+        self.params = params
+        self.matryoshka_dim = matryoshka_dim
+
+        def fwd(params, input_ids, attention_mask):
+            hidden = self.model.apply(
+                {"params": params}, input_ids, attention_mask
+            )
+            pooled = mean_pool(hidden, attention_mask)
+            return finalize_embeddings(pooled, matryoshka_dim)
+
+        self._fwd = jax.jit(fwd)
+
+    @property
+    def dim(self) -> int:
+        return self.matryoshka_dim or self.config.hidden_size
+
+    def encode_tokens(
+        self, input_ids: np.ndarray, attention_mask: np.ndarray
+    ) -> np.ndarray:
+        """``[B, S]`` int32 ids+mask -> ``[B, dim]`` f32 embeddings."""
+        out = self._fwd(
+            self.params,
+            jnp.asarray(input_ids, dtype=jnp.int32),
+            jnp.asarray(attention_mask, dtype=jnp.int32),
+        )
+        return np.asarray(jax.device_get(out), dtype=np.float32)
+
+
+# ---------------------------------------------------------------------------
+# HF checkpoint conversion
+# ---------------------------------------------------------------------------
+
+# HF nomic-bert tensor name -> (flax path builder). The checkpoint stores
+# fused GLU input projections as one tensor ``mlp.fc1.weight`` of shape
+# [2*inner, hidden] in some exports and split fc11/fc12 in others; both are
+# handled below.
+
+
+def _to_f32(t) -> np.ndarray:
+    arr = np.asarray(t)
+    if arr.dtype == np.float16 or str(arr.dtype) == "bfloat16":
+        arr = arr.astype(np.float32)
+    return np.ascontiguousarray(arr, dtype=np.float32)
+
+
+def _load_raw_state(checkpoint_dir: Path) -> Dict[str, np.ndarray]:
+    """Read every tensor from safetensors / torch .bin files in the dir."""
+    state: Dict[str, np.ndarray] = {}
+    st_files = sorted(checkpoint_dir.glob("*.safetensors"))
+    if st_files:
+        from safetensors import safe_open
+
+        for f in st_files:
+            # framework="np" cannot represent bf16; go through torch when
+            # present, else numpy with manual cast.
+            try:
+                with safe_open(str(f), framework="pt") as reader:
+                    for key in reader.keys():
+                        state[key] = _to_f32(reader.get_tensor(key).float().numpy())
+            except Exception:
+                with safe_open(str(f), framework="np") as reader:
+                    for key in reader.keys():
+                        state[key] = _to_f32(reader.get_tensor(key))
+        return state
+    bin_files = sorted(checkpoint_dir.glob("*.bin"))
+    if bin_files:
+        import torch
+
+        for f in bin_files:
+            sd = torch.load(str(f), map_location="cpu", weights_only=True)
+            for key, t in sd.items():
+                state[key] = _to_f32(t.float().numpy())
+        return state
+    raise FileNotFoundError(
+        f"no *.safetensors or *.bin weights under {checkpoint_dir}"
+    )
+
+
+def _strip_prefixes(state: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
+    out = {}
+    for k, v in state.items():
+        for pre in ("model.", "bert.", "nomic_bert."):
+            if k.startswith(pre):
+                k = k[len(pre):]
+        out[k] = v
+    return out
+
+
+def convert_hf_params(
+    state: Dict[str, np.ndarray], config: NomicBertConfig
+) -> Dict:
+    """Map HF ``nomic-bert`` tensor names onto this module's param tree.
+
+    HF layout (modeling_hf_nomic_bert):
+      emb.word_embeddings / emb.token_type_embeddings / emb_ln
+      encoder.layers.{i}.attn.Wqkv, .attn.out_proj,
+      .norm1, .norm2, .mlp.fc11/.fc12 (or fused .fc1), .mlp.fc2
+    Linear weights are [out, in] in torch -> transposed to [in, out].
+    """
+    state = _strip_prefixes(state)
+    d = config.hidden_size
+
+    def t(name):  # torch linear weight -> flax kernel
+        return np.ascontiguousarray(state[name].T)
+
+    def get(*names):
+        for n in names:
+            if n in state:
+                return state[n]
+        raise KeyError(f"none of {names} in checkpoint ({len(state)} tensors)")
+
+    def get_t(*names):
+        for n in names:
+            if n in state:
+                return t(n)
+        raise KeyError(f"none of {names} in checkpoint")
+
+    params: Dict[str, Any] = {
+        "word_embeddings": {
+            "embedding": get(
+                "embeddings.word_embeddings.weight", "emb.word_embeddings.weight"
+            )
+        },
+        "token_type_embeddings": {
+            "embedding": get(
+                "embeddings.token_type_embeddings.weight",
+                "emb.token_type_embeddings.weight",
+            )
+        },
+        "emb_norm": {
+            "scale": get("emb_ln.weight", "embeddings.LayerNorm.weight"),
+            "bias": get("emb_ln.bias", "embeddings.LayerNorm.bias"),
+        },
+    }
+    for i in range(config.num_layers):
+        pre = f"encoder.layers.{i}"
+        layer: Dict[str, Any] = {}
+        attn: Dict[str, Any] = {"Wqkv": {"kernel": get_t(f"{pre}.attn.Wqkv.weight")}}
+        if f"{pre}.attn.Wqkv.bias" in state:
+            attn["Wqkv"]["bias"] = state[f"{pre}.attn.Wqkv.bias"]
+        attn["out_proj"] = {
+            "kernel": get_t(f"{pre}.attn.out_proj.weight"),
+            "bias": state.get(
+                f"{pre}.attn.out_proj.bias", np.zeros(d, np.float32)
+            ),
+        }
+        layer["attn"] = attn
+        mlp: Dict[str, Any] = {}
+        if f"{pre}.mlp.fc11.weight" in state:
+            mlp["fc11"] = {"kernel": get_t(f"{pre}.mlp.fc11.weight")}
+            mlp["fc12"] = {"kernel": get_t(f"{pre}.mlp.fc12.weight")}
+        elif config.activation == "swiglu":
+            fused = state[f"{pre}.mlp.fc1.weight"]  # [2*inner, d]
+            inner = fused.shape[0] // 2
+            # flash-attn GatedMlp: fc1 output splits as (y, gate).
+            mlp["fc11"] = {"kernel": np.ascontiguousarray(fused[:inner].T)}
+            mlp["fc12"] = {"kernel": np.ascontiguousarray(fused[inner:].T)}
+        else:
+            mlp["fc1"] = {
+                "kernel": get_t(f"{pre}.mlp.fc1.weight"),
+                "bias": state.get(
+                    f"{pre}.mlp.fc1.bias",
+                    np.zeros(config.mlp_dim, np.float32),
+                ),
+            }
+        mlp["fc2"] = {
+            "kernel": get_t(f"{pre}.mlp.fc2.weight"),
+            "bias": state.get(f"{pre}.mlp.fc2.bias", np.zeros(d, np.float32)),
+        }
+        layer["mlp"] = mlp
+        layer["norm1"] = {
+            "scale": state[f"{pre}.norm1.weight"],
+            "bias": state[f"{pre}.norm1.bias"],
+        }
+        layer["norm2"] = {
+            "scale": state[f"{pre}.norm2.weight"],
+            "bias": state[f"{pre}.norm2.bias"],
+        }
+        params[f"layer_{i}"] = layer
+    return jax.tree.map(jnp.asarray, params)
+
+
+def load_hf_checkpoint(
+    checkpoint_dir: str, config: Optional[NomicBertConfig] = None
+) -> Tuple[NomicBertConfig, Dict]:
+    """Load a local HF export of nomic-embed-text-v1.5 into (config, params).
+
+    Reads ``config.json`` when present to pick up architecture overrides
+    (n_layer, n_head, rotary base, ...)."""
+    ckpt = Path(checkpoint_dir)
+    if config is None:
+        config = NomicBertConfig()
+    cfg_file = ckpt / "config.json"
+    if cfg_file.exists():
+        hf = json.loads(cfg_file.read_text())
+        config = NomicBertConfig(
+            vocab_size=hf.get("vocab_size", config.vocab_size),
+            hidden_size=hf.get("n_embd", hf.get("hidden_size", config.hidden_size)),
+            num_layers=hf.get("n_layer", hf.get("num_hidden_layers", config.num_layers)),
+            num_heads=hf.get("n_head", hf.get("num_attention_heads", config.num_heads)),
+            mlp_dim=hf.get("n_inner", hf.get("intermediate_size", config.mlp_dim)),
+            max_tokens=config.max_tokens,
+            type_vocab_size=hf.get("type_vocab_size", config.type_vocab_size),
+            rotary_base=hf.get("rotary_emb_base", config.rotary_base),
+            layer_norm_eps=hf.get("layer_norm_epsilon", config.layer_norm_eps),
+            activation="swiglu"
+            if hf.get("activation_function", "swiglu") in ("swiglu", "silu")
+            else "gelu",
+            qkv_bias=hf.get("qkv_proj_bias", config.qkv_bias),
+            mlp_bias=hf.get("mlp_fc1_bias", config.mlp_bias),
+            dtype=config.dtype,
+        )
+    state = _load_raw_state(ckpt)
+    return config, convert_hf_params(state, config)

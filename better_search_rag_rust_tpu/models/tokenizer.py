@@ -1,0 +1,128 @@
+"""Tokenization with the reference's fixed-shape contract.
+
+The reference tokenizes with truncation AND fixed right-padding to 512
+(pad_id 0), producing ``[B, 512]`` id/mask tensors (reference:
+src/llm/hf.rs:59-106 — ``PaddingStrategy::Fixed(512)`` at :70, pad_id 0 at
+:71, truncation at :62-67). That accidental rigidity is exactly what XLA
+wants — one static shape, one compile.
+
+Two backends:
+
+* :class:`FixedLengthTokenizer` — wraps a real HF ``tokenizers.Tokenizer``
+  (``tokenizer.json`` from a local checkpoint export).
+* :class:`HashingTokenizer` — hermetic deterministic fallback: word-level
+  hashing into the vocab range. No artifacts needed; used by tests and by the
+  hash encoder (≙ the reference's mock-embedding trick, src/utils.rs:14-27).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+from pathlib import Path
+from typing import List, Optional, Sequence, Tuple
+
+import numpy as np
+
+PAD_ID = 0  # reference: src/llm/hf.rs:71
+_WORD_RE = re.compile(r"[A-Za-z0-9_]+|[^\sA-Za-z0-9_]")
+
+
+class TokenizerError(ValueError):
+    pass
+
+
+def _check_batch(texts: Sequence[str]) -> None:
+    """Reject batches containing empty strings — the reference's
+    "Invalid inputs: has empty values" contract (src/llm/hf.rs:54-56)."""
+    if any(len(t) == 0 for t in texts):
+        raise TokenizerError("Invalid inputs: has empty values")
+
+
+class FixedLengthTokenizer:
+    """HF tokenizer with truncation + fixed right-padding to ``max_tokens``."""
+
+    def __init__(self, tokenizer, max_tokens: int = 512):
+        self.max_tokens = max_tokens
+        self._tok = tokenizer
+        self._tok.enable_truncation(max_length=max_tokens)
+        self._tok.enable_padding(
+            length=max_tokens, pad_id=PAD_ID, pad_token="[PAD]"
+        )
+
+    @staticmethod
+    def from_file(path: str | Path, max_tokens: int = 512) -> "FixedLengthTokenizer":
+        from tokenizers import Tokenizer
+
+        return FixedLengthTokenizer(Tokenizer.from_file(str(path)), max_tokens)
+
+    def encode_batch(
+        self, texts: Sequence[str]
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        """``texts -> (ids [B, S] int32, mask [B, S] int32)``. Empty batch ->
+        ``[0, S]`` arrays (reference: src/llm/hf.rs:51-53)."""
+        if len(texts) == 0:
+            z = np.zeros((0, self.max_tokens), dtype=np.int32)
+            return z, z.copy()
+        _check_batch(texts)
+        encs = self._tok.encode_batch(list(texts))
+        ids = np.asarray([e.ids for e in encs], dtype=np.int32)
+        mask = np.asarray([e.attention_mask for e in encs], dtype=np.int32)
+        return ids, mask
+
+
+class HashingTokenizer:
+    """Deterministic, artifact-free tokenizer.
+
+    Splits text into words/punctuation and hashes each token into
+    ``[num_special, vocab_size)`` with a stable digest, so identical text
+    always yields identical ids on every host. ids 0..9 are reserved
+    (0 = PAD, 1 = CLS, 2 = SEP).
+    """
+
+    NUM_SPECIAL = 10
+    CLS_ID = 1
+    SEP_ID = 2
+
+    def __init__(self, vocab_size: int = 30528, max_tokens: int = 512):
+        self.vocab_size = vocab_size
+        self.max_tokens = max_tokens
+
+    def _token_id(self, token: str) -> int:
+        digest = hashlib.blake2b(token.encode("utf-8"), digest_size=8).digest()
+        span = self.vocab_size - self.NUM_SPECIAL
+        return self.NUM_SPECIAL + int.from_bytes(digest, "little") % span
+
+    def encode_batch(
+        self, texts: Sequence[str]
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        if len(texts) == 0:
+            z = np.zeros((0, self.max_tokens), dtype=np.int32)
+            return z, z.copy()
+        _check_batch(texts)
+        s = self.max_tokens
+        ids = np.full((len(texts), s), PAD_ID, dtype=np.int32)
+        mask = np.zeros((len(texts), s), dtype=np.int32)
+        for row, text in enumerate(texts):
+            words = _WORD_RE.findall(text.lower())[: s - 2]
+            seq: List[int] = [self.CLS_ID]
+            seq.extend(self._token_id(w) for w in words)
+            seq.append(self.SEP_ID)
+            ids[row, : len(seq)] = seq
+            mask[row, : len(seq)] = 1
+        return ids, mask
+
+
+def load_tokenizer(
+    checkpoint_dir: Optional[str],
+    max_tokens: int = 512,
+    vocab_size: int = 30528,
+):
+    """``tokenizer.json`` under the checkpoint dir when available, else the
+    hermetic hashing tokenizer — artifact-gated like the reference's model
+    loading (src/llm/hf.rs:138-144)."""
+    if checkpoint_dir:
+        tok_file = Path(checkpoint_dir) / "tokenizer.json"
+        if tok_file.exists():
+            return FixedLengthTokenizer.from_file(tok_file, max_tokens)
+    return HashingTokenizer(vocab_size=vocab_size, max_tokens=max_tokens)

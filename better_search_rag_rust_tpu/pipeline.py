@@ -1,0 +1,270 @@
+"""End-to-end pipeline driver: ingest -> embed -> store -> search -> report.
+
+This is the rebuild of the reference's SPMD driver and task layer
+(reference: src/main.rs:25-189, src/mpi_helpers/tasks.rs:17-217):
+
+reference (MPI ranks)                       | here (JAX)
+--------------------------------------------|--------------------------------
+every rank re-walks the tree (tasks.rs:52)  | deterministic sorted walk; each
+and relies on walkdir order                 | host takes its block slice
+rank slice via slice_by_rank (tasks.rs:68)  | :func:`..parallel.slice_for_shard`
+chunked read -> embed -> append loop with   | same loop, per-batch failures
+per-chunk log-and-continue (tasks.rs:94-148)| logged and skipped
+persist rank_r.parquet (tasks.rs:163-172)   | per-host shard persist
+barrier; root merges in rank order          | host barrier; host 0 merges in
+(main.rs:82-107, tasks.rs:181-217)          | shard order (index discipline)
+every rank re-reads ALL of global.parquet   | ONE block-sharded jax.Array in
+at search time (metrics.rs:23-33)           | HBM over the mesh
+root broadcasts query (main.rs:123-125)     | implicit replication
+SKIP_PROCESS env (main.rs:42-45)            | ``config.skip_process``
+barriers everywhere                         | XLA program order + one host sync
+
+The embedding model is loaded **once per host process** and jitted over the
+chip mesh — not once per rank as in the reference, whose per-rank ~0.5 GB
+replica is its scaling bottleneck (OOM at N=32, README.md:164-166).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from pathlib import Path
+from typing import List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from .bench import BenchmarkManager
+from .config import PipelineConfig
+from .corpus.walker import find_files_by_extensions, read_files
+from .metrics.quality import accuracy_metrics_for_query
+from .models import EncoderService, create_encoder
+from .ops.engine import SearchEngine
+from .parallel.mesh import create_mesh
+from .parallel.partition import slice_for_shard
+from .store.device_store import DeviceStore
+from .store.vectorstore import (
+    ParquetVectorStore,
+    global_store,
+    local_store,
+    merge_vector_stores,
+)
+from .utils.logging import host_log
+
+
+def _process_info() -> Tuple[int, int]:
+    import jax
+
+    return jax.process_index(), jax.process_count()
+
+
+def _host_barrier(name: str) -> None:
+    """Cross-host sync between filesystem phases (≙ world.barrier(),
+    reference: src/main.rs:82,107). No-op on a single host; on device the
+    search itself needs no barriers — XLA program order replaces them."""
+    import jax
+
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+
+        multihost_utils.sync_global_devices(name)
+
+
+@dataclass
+class IngestStats:
+    """Per-host ingest outcome (≙ return of
+    ``process_files_embeddings_chunked``, reference: src/mpi_helpers/tasks.rs:39-179)."""
+
+    files_found: int = 0
+    files_assigned: int = 0
+    files_read: int = 0
+    files_skipped: int = 0
+    embeddings: int = 0
+    failed_batches: int = 0
+
+
+@dataclass
+class PipelineResult:
+    """What the reference's driver prints, as data
+    (reference: src/main.rs:142-169)."""
+
+    top_k: List[Tuple[int, float]]
+    mrr: float
+    recall: float
+    overlap: float
+    num_vectors: int
+    report: str
+    ingest: Optional[IngestStats] = None
+
+
+class Pipeline:
+    """The full-capability driver (reference: src/main.rs:25-189)."""
+
+    def __init__(
+        self,
+        config: Optional[PipelineConfig] = None,
+        encoder: Optional[EncoderService] = None,
+        mesh=None,
+    ):
+        self.config = config or PipelineConfig.from_env()
+        self.bench = BenchmarkManager()
+        self._encoder = encoder
+        self._mesh = mesh
+        self._engine: Optional[SearchEngine] = None
+
+    # -- lazy pieces -----------------------------------------------------------
+
+    @property
+    def mesh(self):
+        if self._mesh is None:
+            mc = self.config.mesh
+            self._mesh = create_mesh(mc.shape, mc.axis_names)
+        return self._mesh
+
+    @property
+    def encoder(self) -> EncoderService:
+        if self._encoder is None:
+            timer = self.bench.start("llm_service_loading")
+            self._encoder = create_encoder(self.config.encoder)
+            self.bench.record(timer.stop())  # reference: src/main.rs:53-55
+        return self._encoder
+
+    # -- phase 1: ingest + embed ------------------------------------------------
+
+    def ingest_shard(
+        self, shard: Optional[int] = None, num_shards: Optional[int] = None
+    ) -> IngestStats:
+        """Embed this host's block of the corpus into its shard store
+        (reference: src/mpi_helpers/tasks.rs:39-179).
+
+        Per-batch failures are logged and skipped, never fatal
+        (reference: tasks.rs:118-124)."""
+        cfg = self.config
+        proc, nprocs = _process_info()
+        shard = proc if shard is None else shard
+        num_shards = nprocs if num_shards is None else num_shards
+        stats = IngestStats()
+
+        files = find_files_by_extensions(cfg.corpus.root, cfg.corpus.extensions)
+        stats.files_found = len(files)
+        if shard == 0:
+            host_log(f"found {len(files)} files under {cfg.corpus.root}")
+
+        mine = slice_for_shard(shard, num_shards, files)
+        stats.files_assigned = len(mine)
+        store = local_store(cfg.store.dir, shard, empty=True)
+
+        timer = self.bench.start("embedding_generation")
+        bsz = cfg.corpus.files_per_batch
+        for start in range(0, len(mine), bsz):
+            batch_paths = mine[start : start + bsz]
+            contents = read_files(batch_paths, cfg.corpus.max_file_bytes)
+            texts = [c for _p, c in contents if c]
+            stats.files_skipped += len(batch_paths) - len(texts)
+            stats.files_read += len(texts)
+            if not texts:
+                continue
+            try:
+                emb = self.encoder.get_embeddings(texts)
+            except Exception as exc:  # log-and-continue, tasks.rs:118-124
+                host_log(
+                    f"batch {start // bsz} failed ({len(texts)} files): {exc}"
+                )
+                stats.failed_batches += 1
+                continue
+            store.append_many(emb)
+            stats.embeddings += emb.shape[0]
+        store.persist()  # reference: tasks.rs:163-172
+        self.bench.record(timer.stop(items_processed=stats.embeddings))
+        host_log(
+            f"shard {shard}: {stats.embeddings} embeddings "
+            f"({stats.files_skipped} files skipped)"
+        )
+        return stats
+
+    def merge(self, num_shards: Optional[int] = None) -> int:
+        """Merge shard stores into global.parquet in shard order — host 0 only
+        (reference: src/main.rs:85-105, tasks.rs:181-217). Returns the merged
+        row count."""
+        proc, nprocs = _process_info()
+        num_shards = nprocs if num_shards is None else num_shards
+        count = 0
+        if proc == 0:
+            timer = self.bench.start("vector_store_merge")
+            merged = merge_vector_stores(num_shards, self.config.store.dir)
+            merged.persist()
+            count = merged.count
+            self.bench.record(timer.stop(items_processed=count))
+            host_log(f"merged {num_shards} shards -> {count} vectors")
+        _host_barrier("merge")  # ≙ main.rs:107
+        return count
+
+    # -- phase 2: device store + search -----------------------------------------
+
+    def load_device_store(self) -> DeviceStore:
+        """global.parquet -> normalized block-sharded HBM store. Unlike the
+        reference (every rank parses the whole file, metrics.rs:23-33), the
+        parse happens once per host and the rows live sharded on device."""
+        cfg = self.config
+        gstore = global_store(cfg.store.dir, empty=False)
+        matrix = gstore.matrix()
+        if matrix.size == 0:
+            raise RuntimeError(
+                f"global store at {cfg.store.dir} is empty — "
+                "run ingest first or unset skip_process"
+            )
+        return DeviceStore.from_host(
+            matrix,
+            self.mesh,
+            dtype=cfg.search.store_dtype,
+            chunk_rows=cfg.search.chunk_rows,
+        )
+
+    def engine(self, store: Optional[DeviceStore] = None) -> SearchEngine:
+        if self._engine is None:
+            self._engine = SearchEngine(
+                store or self.load_device_store(), self.config.search
+            )
+        return self._engine
+
+    # -- full driver --------------------------------------------------------------
+
+    def run(self) -> PipelineResult:
+        """The whole reference ``main()`` (src/main.rs:25-189): optional
+        ingest+merge, self-retrieval search, accuracy metrics, benchmark
+        report."""
+        cfg = self.config
+        total = self.bench.start("total_execution")
+        ingest_stats = None
+        if not cfg.skip_process:  # reference: main.rs:42-45
+            ingest_stats = self.ingest_shard()
+            self.merge()
+
+        engine = self.engine()
+        store = engine.store
+
+        # Query = stored vector ``query_idx`` (reference: main.rs:110-121).
+        # The reference root-reads it then MPI-broadcasts (main.rs:123-125);
+        # here the row is read host-side and replication is implicit.
+        gstore = global_store(cfg.store.dir, empty=False)
+        query = gstore.get(cfg.search.query_idx)
+
+        timer = self.bench.start("similarity_search")
+        top_k = engine.search_single(query, cfg.search.top_k)
+        self.bench.record(timer.stop(items_processed=store.num_rows))
+
+        timer = self.bench.start("metrics_calculation")
+        mrr, recall, overlap = accuracy_metrics_for_query(
+            top_k, cfg.search.query_idx, cfg.search.top_k
+        )
+        self.bench.record(timer.stop())
+
+        self.bench.record(total.stop())
+        report = self.bench.generate_report()
+        return PipelineResult(
+            top_k=top_k,
+            mrr=mrr,
+            recall=recall,
+            overlap=overlap,
+            num_vectors=store.num_rows,
+            report=report,
+            ingest=ingest_stats,
+        )

@@ -1,0 +1,78 @@
+"""Benchmark harness tests (reference: src/mpi_helpers/benchmark.rs)."""
+
+import time
+
+import numpy as np
+import pytest
+
+from better_search_rag_rust_tpu.bench import (
+    BenchmarkManager,
+    BenchmarkTiming,
+    format_time,
+    time_operation,
+)
+
+
+def test_format_time_humanizer():
+    # reference: benchmark.rs:469-486
+    assert format_time(5e-10).endswith("ns")
+    assert format_time(5e-5).endswith("µs")
+    assert format_time(5e-3).endswith("ms")
+    assert format_time(5.0) == "5.00 s"
+    assert format_time(125.0) == "2m 5.0s"
+
+
+def test_throughput():
+    # reference: benchmark.rs:37-40
+    t = BenchmarkTiming("op", duration=2.0, items_processed=100)
+    assert t.throughput() == 50.0
+    assert BenchmarkTiming("op", 2.0).throughput() is None
+    assert BenchmarkTiming("op", 0.0, 10).throughput() is None
+
+
+def test_record_and_aggregate():
+    m = BenchmarkManager()
+    m.record_duration("embed", 1.0, items=10)
+    m.record_duration("embed", 3.0, items=30)
+    m.record_duration("search", 0.5)
+    stats = m.gather_timings()
+    assert stats["embed"].min_s == stats["embed"].max_s == 4.0
+    assert stats["embed"].total_items == 40
+    assert stats["search"].total_items is None
+    assert stats["embed"].throughput() == pytest.approx(10.0)
+
+
+def test_timer_measures():
+    m = BenchmarkManager()
+    timer = m.start("sleepy")
+    time.sleep(0.01)
+    m.record(timer.stop())
+    assert m.local_total("sleepy") >= 0.01
+
+
+def test_time_operation_wrapper():
+    # reference: benchmark.rs:442-466
+    m = BenchmarkManager()
+    out = time_operation(m, "square", lambda: np.arange(4) ** 2,
+                         items=lambda r: r.size)
+    np.testing.assert_array_equal(out, [0, 1, 4, 9])
+    assert m.local_items("square") == 4
+
+
+def test_report_contains_speedup():
+    # reference: benchmark.rs:361-416 (speedup vs sequential baseline)
+    m = BenchmarkManager()
+    m.record_duration("search", 1.0, items=1000)
+    report = m.generate_report(sequential_times={"search": 8.0})
+    assert "BENCHMARK REPORT" in report
+    assert "speedup 8.00x" in report
+    assert "items/s" in report
+
+
+def test_as_json_machine_readable():
+    import json
+
+    m = BenchmarkManager()
+    m.record_duration("op", 2.0, items=10)
+    parsed = json.loads(m.as_json())
+    assert parsed["op"]["throughput"] == 5.0

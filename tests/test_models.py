@@ -1,0 +1,245 @@
+"""Encoder layer tests.
+
+Mirrors the reference's encoder suite (reference: src/llm/hf.rs:127-317):
+dim=768 and non-degenerate values, batch rows differ, empty-string error,
+empty batch -> [], determinism across calls — plus the tokenizer fixed-shape
+contract and the Flax NomicBERT forward (random-init, shape/grad checks).
+"""
+
+import numpy as np
+import pytest
+
+from better_search_rag_rust_tpu.config import EncoderConfig
+from better_search_rag_rust_tpu.models import (
+    EncoderService,
+    HashEncoder,
+    HashingTokenizer,
+    NomicBertConfig,
+    NomicEncoder,
+    create_encoder,
+)
+from better_search_rag_rust_tpu.models.tokenizer import TokenizerError
+
+
+# ---------------------------------------------------------------------------
+# Tokenizer
+# ---------------------------------------------------------------------------
+
+
+def test_hashing_tokenizer_fixed_shape():
+    tok = HashingTokenizer(vocab_size=1000, max_tokens=16)
+    ids, mask = tok.encode_batch(["hello world", "a"])
+    assert ids.shape == (2, 16) and mask.shape == (2, 16)
+    assert ids.dtype == np.int32
+    # CLS + 2 tokens + SEP
+    assert mask[0].sum() == 4 and mask[1].sum() == 3
+    # right-padded with PAD_ID=0 (reference: src/llm/hf.rs:70-71)
+    assert (ids[0][mask[0] == 0] == 0).all()
+
+
+def test_hashing_tokenizer_deterministic():
+    tok = HashingTokenizer(vocab_size=5000, max_tokens=32)
+    a, _ = tok.encode_batch(["def foo(): pass"])
+    b, _ = tok.encode_batch(["def foo(): pass"])
+    np.testing.assert_array_equal(a, b)
+
+
+def test_hashing_tokenizer_truncates():
+    tok = HashingTokenizer(vocab_size=1000, max_tokens=8)
+    ids, mask = tok.encode_batch(["w " * 100])
+    assert ids.shape == (1, 8)
+    assert mask[0].sum() == 8
+
+
+def test_tokenizer_rejects_empty_string():
+    tok = HashingTokenizer()
+    # reference: src/llm/hf.rs:54-56 "Invalid inputs: has empty values"
+    with pytest.raises(TokenizerError, match="has empty values"):
+        tok.encode_batch(["ok", ""])
+
+
+def test_tokenizer_empty_batch():
+    tok = HashingTokenizer(max_tokens=16)
+    ids, mask = tok.encode_batch([])
+    assert ids.shape == (0, 16)
+
+
+# ---------------------------------------------------------------------------
+# Hash encoder service (hermetic backend)
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def hash_service():
+    return create_encoder(
+        EncoderConfig(backend="hash", dim=64, vocab_size=2048, max_tokens=64,
+                      batch_size=4)
+    )
+
+
+def test_embeddings_shape_and_values(hash_service):
+    # reference: src/llm/hf.rs:170-202 — correct dim, non-degenerate values
+    out = hash_service.get_embeddings(["public class Foo {}", "import jax"])
+    assert out.shape == (2, 64)
+    assert out.dtype == np.float32
+    assert np.isfinite(out).all()
+    assert np.abs(out).sum() > 0
+    # rows are L2-normalized
+    np.testing.assert_allclose(
+        np.linalg.norm(out, axis=1), 1.0, rtol=1e-4
+    )
+
+
+def test_embeddings_batch_rows_differ(hash_service):
+    # reference: src/llm/hf.rs:204-239
+    out = hash_service.get_embeddings(["alpha beta gamma", "delta epsilon"])
+    assert not np.allclose(out[0], out[1])
+
+
+def test_embeddings_empty_string_error(hash_service):
+    # reference: src/llm/hf.rs:241-265
+    with pytest.raises(TokenizerError, match="has empty values"):
+        hash_service.get_embeddings(["fine", ""])
+
+
+def test_embeddings_empty_batch(hash_service):
+    # reference: src/llm/hf.rs:267-287
+    out = hash_service.get_embeddings([])
+    assert out.shape == (0, 64)
+
+
+def test_embeddings_deterministic(hash_service):
+    # reference: src/llm/hf.rs:289-316
+    a = hash_service.get_embeddings(["static void main", "class B"])
+    b = hash_service.get_embeddings(["static void main", "class B"])
+    np.testing.assert_array_equal(a, b)
+
+
+def test_ragged_batch_padding(hash_service):
+    """Fixed-shape re-batching: 5 texts through batch_size=4 must equal the
+    same texts encoded individually."""
+    texts = [f"token{i} content here" for i in range(5)]
+    full = hash_service.get_embeddings(texts)
+    assert full.shape == (5, 64)
+    for i, t in enumerate(texts):
+        single = hash_service.get_embeddings([t])
+        np.testing.assert_allclose(full[i], single[0], atol=1e-6)
+
+
+def test_similar_texts_are_nearer(hash_service):
+    a, b, c = hash_service.get_embeddings(
+        [
+            "public static void main string args",
+            "public static void main string argv",
+            "zzz qqq completely unrelated xxx yyy",
+        ]
+    )
+    assert a @ b > a @ c
+
+
+# ---------------------------------------------------------------------------
+# NomicBERT forward (random init — shape, mask, determinism)
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def tiny_nomic():
+    cfg = NomicBertConfig(
+        vocab_size=512, hidden_size=64, num_layers=2, num_heads=4,
+        mlp_dim=128, max_tokens=32,
+    )
+    return NomicEncoder(cfg, seed=0)
+
+
+def test_nomic_forward_shape(tiny_nomic):
+    ids = np.random.default_rng(0).integers(0, 512, size=(3, 32)).astype(np.int32)
+    mask = np.ones((3, 32), dtype=np.int32)
+    out = tiny_nomic.encode_tokens(ids, mask)
+    assert out.shape == (3, 64)
+    np.testing.assert_allclose(np.linalg.norm(out, axis=1), 1.0, rtol=1e-3)
+
+
+def test_nomic_mask_ignores_padding(tiny_nomic):
+    """A padded row must encode identically regardless of pad-token ids."""
+    rng = np.random.default_rng(1)
+    ids_a = rng.integers(1, 512, size=(1, 32)).astype(np.int32)
+    ids_b = ids_a.copy()
+    mask = np.zeros((1, 32), dtype=np.int32)
+    mask[0, :10] = 1
+    ids_b[0, 10:] = 0  # different pad ids beyond the mask
+    out_a = tiny_nomic.encode_tokens(ids_a, mask)
+    out_b = tiny_nomic.encode_tokens(ids_b, mask)
+    np.testing.assert_allclose(out_a, out_b, atol=2e-2)
+
+
+def test_nomic_deterministic(tiny_nomic):
+    ids = np.arange(32, dtype=np.int32).reshape(1, 32) % 512
+    mask = np.ones((1, 32), dtype=np.int32)
+    a = tiny_nomic.encode_tokens(ids, mask)
+    b = tiny_nomic.encode_tokens(ids, mask)
+    np.testing.assert_array_equal(a, b)
+
+
+def test_nomic_matryoshka_truncation():
+    cfg = NomicBertConfig(
+        vocab_size=128, hidden_size=64, num_layers=1, num_heads=4,
+        mlp_dim=64, max_tokens=16,
+    )
+    enc = NomicEncoder(cfg, matryoshka_dim=32)
+    ids = np.ones((2, 16), dtype=np.int32)
+    mask = np.ones((2, 16), dtype=np.int32)
+    out = enc.encode_tokens(ids, mask)
+    assert out.shape == (2, 32)
+    np.testing.assert_allclose(np.linalg.norm(out, axis=1), 1.0, rtol=1e-3)
+
+
+def test_rotary_tables_shape():
+    from better_search_rag_rust_tpu.models.nomic import rotary_tables
+
+    cos, sin = rotary_tables(16, 8, 1000.0)
+    assert cos.shape == (16, 4) and sin.shape == (16, 4)
+    np.testing.assert_allclose(cos[0], 1.0)
+    np.testing.assert_allclose(sin[0], 0.0)
+
+
+def test_hf_param_conversion_roundtrip():
+    """convert_hf_params maps a synthetic torch-layout state dict onto the
+    module tree and the forward runs with it."""
+    import jax.numpy as jnp
+
+    from better_search_rag_rust_tpu.models.nomic import convert_hf_params
+
+    cfg = NomicBertConfig(
+        vocab_size=64, hidden_size=16, num_layers=1, num_heads=2,
+        mlp_dim=32, max_tokens=8,
+    )
+    rng = np.random.default_rng(0)
+    d, inner = cfg.hidden_size, cfg.mlp_dim
+
+    def w(*shape):
+        return rng.standard_normal(shape).astype(np.float32) * 0.02
+
+    state = {
+        "embeddings.word_embeddings.weight": w(cfg.vocab_size, d),
+        "embeddings.token_type_embeddings.weight": w(2, d),
+        "emb_ln.weight": np.ones(d, np.float32),
+        "emb_ln.bias": np.zeros(d, np.float32),
+        "encoder.layers.0.attn.Wqkv.weight": w(3 * d, d),
+        "encoder.layers.0.attn.out_proj.weight": w(d, d),
+        "encoder.layers.0.attn.out_proj.bias": np.zeros(d, np.float32),
+        "encoder.layers.0.norm1.weight": np.ones(d, np.float32),
+        "encoder.layers.0.norm1.bias": np.zeros(d, np.float32),
+        "encoder.layers.0.norm2.weight": np.ones(d, np.float32),
+        "encoder.layers.0.norm2.bias": np.zeros(d, np.float32),
+        # fused GLU fc1 layout: [2*inner, d]
+        "encoder.layers.0.mlp.fc1.weight": w(2 * inner, d),
+        "encoder.layers.0.mlp.fc2.weight": w(d, inner),
+        "encoder.layers.0.mlp.fc2.bias": np.zeros(d, np.float32),
+    }
+    params = convert_hf_params(state, cfg)
+    assert params["layer_0"]["mlp"]["fc11"]["kernel"].shape == (d, inner)
+    enc = NomicEncoder(cfg, params=params)
+    out = enc.encode_tokens(
+        np.ones((1, 8), np.int32), np.ones((1, 8), np.int32)
+    )
+    assert out.shape == (1, 16) and np.isfinite(out).all()
