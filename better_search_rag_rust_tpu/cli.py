@@ -66,7 +66,7 @@ def _add_common(p: argparse.ArgumentParser) -> None:
                       choices=["bfloat16", "float32"])
     srch.add_argument("--chunk-rows", type=int, default=16384)
     srch.add_argument("--search-kernel", default="auto",
-                      choices=["auto", "scan", "blockmax", "pallas"])
+                      choices=["auto", "global", "scan", "blockmax", "pallas"])
 
 
 def _config_from_args(args, skip_process: bool) -> PipelineConfig:

@@ -116,9 +116,10 @@ class SearchConfig:
     #: dtype the store shards are held in on device HBM.
     store_dtype: str = "bfloat16"
     #: Scores always accumulate in float32 on the MXU.
-    #: Search strategy: "scan" (direct chunked top-k), "blockmax"
-    #: (hierarchical two-stage, exact), "pallas" (fused kernel),
-    #: or "auto" (pick by k / backend).
+    #: Search strategy: "global" (dense two-stage block selection — one
+    #: matmul + one top-k per query tile, the fastest exact path), "scan"
+    #: (chunked running top-k), "blockmax" (chunked hierarchical merge),
+    #: "pallas" (fused kernel), or "auto" (pick by memory / k).
     kernel: str = "auto"
 
 

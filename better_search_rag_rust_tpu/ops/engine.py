@@ -36,7 +36,7 @@ except ImportError:  # pragma: no cover
 from ..config import SearchConfig
 from ..store.device_store import DeviceStore
 from .distance import normalize_rows
-from .topk import local_topk, serial_topk
+from .topk import global_topk, local_topk, serial_topk
 
 DATA_AXIS = "data"
 
@@ -155,15 +155,30 @@ class SearchEngine:
     def _resolve_kernel(self, k_eff: int) -> str:
         kernel = self.config.kernel
         if kernel == "auto":
-            # The hierarchical merge wins when k is small relative to the
-            # chunk's block count; otherwise sort the chunk directly.
-            n_blocks = max(1, self.store.chunk // 128)
-            kernel = "blockmax" if k_eff <= n_blocks else "scan"
+            # Dense two-stage selection ("global") avoids the per-chunk merge
+            # entirely and is the fastest exact path whenever its f32
+            # similarity tile fits the memory budget (it tiles over queries,
+            # so it always does unless the per-device shard itself is huge).
+            # Fall back to the scanning kernels for enormous shards.
+            row_bytes = self.store.per_device_rows * 4
+            if row_bytes * min(256, max(8, 2**30 // max(row_bytes, 1))) <= 2**31:
+                kernel = "global"
+            else:
+                n_blocks = max(1, self.store.chunk // 128)
+                kernel = "blockmax" if k_eff <= n_blocks else "scan"
         if kernel == "pallas":
             # Pallas path plugs in at the local_topk level (see
             # ops/topk_pallas.py); fall back to blockmax merge semantics here.
             kernel = "blockmax"
         return kernel
+
+    def _q_tile(self, q: int) -> int:
+        """Query-tile width for the dense kernel: keep the f32 sims buffer
+        near ~1 GB, within [8, 512], and MXU-friendly."""
+        row_bytes = self.store.per_device_rows * 4
+        t = max(8, min(512, (2**30) // max(row_bytes, 1)))
+        # round down to a multiple of 8 (f32 sublane)
+        return max(8, min(q, (t // 8) * 8))
 
     def _get_fn(self, q: int, k_eff: int):
         kernel = self._resolve_kernel(k_eff)
@@ -179,8 +194,14 @@ class SearchEngine:
         num_rows = store.num_rows
         store_dtype = store.data.dtype
 
+        q_tile = self._q_tile(q)
+
         def shard_fn(shard, queries_cast):
             base = jax.lax.axis_index(DATA_AXIS) * per_dev
+            if kernel == "global":
+                return global_topk(
+                    shard, queries_cast, k_eff, base, num_rows, q_tile
+                )
             return local_topk(
                 shard, queries_cast, k_eff, chunk, base, num_rows, kernel
             )

@@ -145,6 +145,90 @@ def _merge_blockmax(
 
 
 # ---------------------------------------------------------------------------
+# Dense two-stage selection (no scan)
+# ---------------------------------------------------------------------------
+
+
+def global_topk(
+    shard: jax.Array,
+    queries_cast: jax.Array,
+    k: int,
+    base: jax.Array,
+    num_rows: int,
+    q_tile: int = 256,
+) -> Tuple[jax.Array, jax.Array]:
+    """One device's exact top-k via dense two-stage block selection.
+
+    Unlike :func:`local_topk` (a ``lax.scan`` of chunk matmuls with a top-k
+    merge per chunk), this computes the full ``[T, rows_local]`` similarity
+    tile in ONE matmul per query tile, reduces it to per-128-row block maxima,
+    selects the top ``min(k, n_blocks)`` blocks *once*, gathers only those
+    blocks' scores, and runs ONE final ``top_k`` — so the expensive selection
+    happens once per tile instead of once per chunk. Exactness argument is
+    identical to :func:`_merge_blockmax`; ties resolve to the lowest global
+    row index because blocks are gathered in ascending block order and
+    ``top_k`` keeps the first occurrence.
+
+    ``q_tile`` bounds the f32 similarity buffer (``q_tile * rows_local * 4``
+    bytes); tiles run under ``lax.map`` so peak memory stays flat while the
+    MXU matmul stays large.
+    """
+    rows_local, _d = shard.shape
+    if rows_local % BLOCK:
+        raise ValueError(f"rows_local {rows_local} not divisible by {BLOCK}")
+    nb = rows_local // BLOCK
+    kb = min(k, nb)
+    q = queries_cast.shape[0]
+    base_i32 = base.astype(jnp.int32) if hasattr(base, "astype") else jnp.int32(base)
+    gids = base_i32 + jnp.arange(rows_local, dtype=jnp.int32)
+    valid = gids < num_rows
+
+    q_tile = max(1, min(q_tile, q))
+    pad_q = (-q) % q_tile
+    padded_queries = (
+        jnp.concatenate(
+            [queries_cast, jnp.zeros((pad_q, shard.shape[1]), shard.dtype)]
+        )
+        if pad_q
+        else queries_cast
+    )
+    n_tiles = padded_queries.shape[0] // q_tile
+    tiles = padded_queries.reshape(n_tiles, q_tile, shard.shape[1])
+
+    def tile_fn(q_block):
+        sims = jnp.dot(
+            q_block, shard.T, preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )  # [T, rows_local] f32
+        sims = jnp.where(valid[None, :], sims, PAD_SIM)
+        sims3 = sims.reshape(q_tile, nb, BLOCK)
+        block_max = jnp.max(sims3, axis=2)  # [T, NB]
+        _, block_ids = jax.lax.top_k(block_max, kb)
+        block_ids = jnp.sort(block_ids, axis=1)  # ascending: oracle tie order
+        cand_vals = jnp.take_along_axis(
+            sims3, block_ids[:, :, None], axis=1
+        ).reshape(q_tile, kb * BLOCK)
+        cand_ids = (
+            base_i32
+            + block_ids[:, :, None] * BLOCK
+            + jnp.arange(BLOCK, dtype=jnp.int32)[None, None, :]
+        ).reshape(q_tile, kb * BLOCK)
+        if kb * BLOCK < k:  # tiny shard: fewer rows than k — pad candidates
+            pad = k - kb * BLOCK
+            cand_vals = jnp.pad(cand_vals, ((0, 0), (0, pad)),
+                                constant_values=PAD_SIM)
+            cand_ids = jnp.pad(cand_ids, ((0, 0), (0, pad)),
+                               constant_values=jnp.iinfo(jnp.int32).max)
+        top_vals, pos = jax.lax.top_k(cand_vals, k)
+        return top_vals, jnp.take_along_axis(cand_ids, pos, axis=1)
+
+    vals, ids = jax.lax.map(tile_fn, tiles)
+    vals = vals.reshape(n_tiles * q_tile, k)[:q]
+    ids = ids.reshape(n_tiles * q_tile, k)[:q]
+    return vals, ids
+
+
+# ---------------------------------------------------------------------------
 # Per-device scan
 # ---------------------------------------------------------------------------
 

@@ -44,7 +44,7 @@ def _assert_matches_oracle(engine, queries, k):
     return ids, dists
 
 
-@pytest.mark.parametrize("kernel", ["scan", "blockmax"])
+@pytest.mark.parametrize("kernel", ["scan", "blockmax", "global"])
 def test_exact_vs_oracle_f32(mesh8, kernel):
     mat, engine = _engine(mesh8, n=999, kernel=kernel)
     queries = mock_embeddings(8, dim=64, seed=42)
@@ -107,6 +107,10 @@ def test_duplicate_rows_tie_break_by_lowest_index(mesh8):
     ids_bm, _ = engine_bm.search(mat[5], k=5)
     assert ids_bm[0].tolist() == [5, 13, 29, 47, 61]
 
+    engine_g = SearchEngine(store, SearchConfig(kernel="global"))
+    ids_g, _ = engine_g.search(mat[5], k=5)
+    assert ids_g[0].tolist() == [5, 13, 29, 47, 61]
+
 
 def test_zero_store_rows_have_distance_one(mesh8):
     mat = mock_embeddings(32, dim=16, seed=4)
@@ -156,3 +160,37 @@ def test_query_dim_mismatch_raises(mesh8):
     mat, engine = _engine(mesh8, n=10, dim=64)
     with pytest.raises(ValueError):
         engine.search(np.zeros(32, dtype=np.float32), k=3)
+
+
+def test_global_equals_scan(mesh8):
+    """The dense two-stage kernel must agree bit-for-bit with the scanning
+    kernel on indices (same scoring arithmetic, same tie discipline)."""
+    mat = mock_embeddings(1024, dim=32, seed=23)
+    store = DeviceStore.from_host(mat, mesh8, dtype="float32", chunk_rows=256)
+    queries = mock_embeddings(5, dim=32, seed=24)
+    ids_a, d_a = SearchEngine(store, SearchConfig(kernel="scan")).search(queries, 20)
+    ids_g, d_g = SearchEngine(store, SearchConfig(kernel="global")).search(
+        queries, 20
+    )
+    np.testing.assert_array_equal(ids_a, ids_g)
+    np.testing.assert_allclose(d_a, d_g, atol=1e-7)
+
+
+def test_global_kernel_k_exceeds_shard(mesh8):
+    """k larger than any single shard's rows: candidate padding must keep the
+    merged result exact."""
+    mat, engine = _engine(mesh8, n=100, seed=25, kernel="global")
+    queries = mock_embeddings(3, dim=64, seed=26)
+    _assert_matches_oracle(engine, queries, k=80)
+
+
+def test_global_kernel_query_tiling(mesh8):
+    """More queries than one tile (force q_tile < Q) stays exact."""
+    mat = mock_embeddings(512, dim=32, seed=27)
+    store = DeviceStore.from_host(mat, mesh8, dtype="float32", chunk_rows=128)
+    engine = SearchEngine(store, SearchConfig(kernel="global"))
+    engine._q_tile = lambda q: 8  # force tiling
+    queries = mock_embeddings(37, dim=32, seed=28)  # non-multiple of tile
+    ids, dists = engine.search(queries, k=9)
+    o_ids, o_dists = engine.oracle_topk(queries, k=9)
+    np.testing.assert_array_equal(ids, o_ids)
