@@ -166,10 +166,6 @@ class SearchEngine:
             else:
                 n_blocks = max(1, self.store.chunk // 128)
                 kernel = "blockmax" if k_eff <= n_blocks else "scan"
-        if kernel == "pallas":
-            # Pallas path plugs in at the local_topk level (see
-            # ops/topk_pallas.py); fall back to blockmax merge semantics here.
-            kernel = "blockmax"
         return kernel
 
     def _q_tile(self, q: int) -> int:
@@ -198,9 +194,10 @@ class SearchEngine:
 
         def shard_fn(shard, queries_cast):
             base = jax.lax.axis_index(DATA_AXIS) * per_dev
-            if kernel == "global":
+            if kernel in ("global", "pallas"):
                 return global_topk(
-                    shard, queries_cast, k_eff, base, num_rows, q_tile
+                    shard, queries_cast, k_eff, base, num_rows, q_tile,
+                    use_pallas=(kernel == "pallas"),
                 )
             return local_topk(
                 shard, queries_cast, k_eff, chunk, base, num_rows, kernel
@@ -216,6 +213,10 @@ class SearchEngine:
             mesh=mesh,
             in_specs=(P(DATA_AXIS, None), P(None, None)),
             out_specs=(P(None, DATA_AXIS), P(None, DATA_AXIS)),
+            # vma tracking rejects pallas_call outputs inside shard_map
+            # (replicated queries x varying shard); correctness is covered by
+            # the oracle-exactness harness instead.
+            check_vma=False,
         )
 
         def search_fn(data, queries):

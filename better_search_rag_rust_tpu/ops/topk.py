@@ -156,6 +156,7 @@ def global_topk(
     base: jax.Array,
     num_rows: int,
     q_tile: int = 256,
+    use_pallas: bool = False,
 ) -> Tuple[jax.Array, jax.Array]:
     """One device's exact top-k via dense two-stage block selection.
 
@@ -196,13 +197,25 @@ def global_topk(
     tiles = padded_queries.reshape(n_tiles, q_tile, shard.shape[1])
 
     def tile_fn(q_block):
-        sims = jnp.dot(
-            q_block, shard.T, preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
-        )  # [T, rows_local] f32
-        sims = jnp.where(valid[None, :], sims, PAD_SIM)
-        sims3 = sims.reshape(q_tile, nb, BLOCK)
-        block_max = jnp.max(sims3, axis=2)  # [T, NB]
+        if use_pallas:
+            # Fused MXU matmul + padding mask + VMEM block-max (the
+            # BASELINE.json north-star kernel, see .topk_pallas).
+            from .topk_pallas import default_interpret, matmul_blockmax
+
+            limit = jnp.minimum(num_rows - base_i32, rows_local)
+            sims, bm_t = matmul_blockmax(
+                q_block, shard, limit, interpret=default_interpret()
+            )
+            block_max = bm_t.T  # kernel emits [blocks, T] (lane alignment)
+            sims3 = sims.reshape(q_tile, nb, BLOCK)
+        else:
+            sims = jnp.dot(
+                q_block, shard.T, preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            )  # [T, rows_local] f32
+            sims = jnp.where(valid[None, :], sims, PAD_SIM)
+            sims3 = sims.reshape(q_tile, nb, BLOCK)
+            block_max = jnp.max(sims3, axis=2)  # [T, NB]
         _, block_ids = jax.lax.top_k(block_max, kb)
         block_ids = jnp.sort(block_ids, axis=1)  # ascending: oracle tie order
         cand_vals = jnp.take_along_axis(
