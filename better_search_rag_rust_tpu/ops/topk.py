@@ -174,15 +174,20 @@ def global_topk(
     bytes); tiles run under ``lax.map`` so peak memory stays flat while the
     MXU matmul stays large.
     """
-    rows_local, _d = shard.shape
-    if rows_local % BLOCK:
-        raise ValueError(f"rows_local {rows_local} not divisible by {BLOCK}")
+    rows_valid, _d = shard.shape
+    pad_r = (-rows_valid) % BLOCK
+    if pad_r:  # tiny shard: round rows up to a whole 128-block
+        shard = jnp.pad(shard, ((0, pad_r), (0, 0)))
+    rows_local = rows_valid + pad_r
     nb = rows_local // BLOCK
     kb = min(k, nb)
     q = queries_cast.shape[0]
     base_i32 = base.astype(jnp.int32) if hasattr(base, "astype") else jnp.int32(base)
-    gids = base_i32 + jnp.arange(rows_local, dtype=jnp.int32)
-    valid = gids < num_rows
+    local_ids = jnp.arange(rows_local, dtype=jnp.int32)
+    gids = base_i32 + local_ids
+    # Padding rows must lose both by global row count and by local block
+    # padding (a locally padded row's gid may collide with the next shard's).
+    valid = (gids < num_rows) & (local_ids < rows_valid)
 
     q_tile = max(1, min(q_tile, q))
     pad_q = (-q) % q_tile
@@ -202,7 +207,7 @@ def global_topk(
             # BASELINE.json north-star kernel, see .topk_pallas).
             from .topk_pallas import default_interpret, matmul_blockmax
 
-            limit = jnp.minimum(num_rows - base_i32, rows_local)
+            limit = jnp.minimum(num_rows - base_i32, rows_valid)
             sims, bm_t = matmul_blockmax(
                 q_block, shard, limit, interpret=default_interpret()
             )

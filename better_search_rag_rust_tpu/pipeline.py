@@ -201,18 +201,19 @@ class Pipeline:
 
     def load_device_store(self) -> DeviceStore:
         """global.parquet -> normalized block-sharded HBM store. Unlike the
-        reference (every rank parses the whole file, metrics.rs:23-33), the
-        parse happens once per host and the rows live sharded on device."""
+        reference (every rank parses the whole file, metrics.rs:23-33), each
+        host parses only the row blocks its devices own."""
+        from .store.vectorstore import global_store_path, parquet_row_count
+
         cfg = self.config
-        gstore = global_store(cfg.store.dir, empty=False)
-        matrix = gstore.matrix()
-        if matrix.size == 0:
+        path = global_store_path(cfg.store.dir)
+        if parquet_row_count(path) == 0:
             raise RuntimeError(
                 f"global store at {cfg.store.dir} is empty — "
                 "run ingest first or unset skip_process"
             )
-        return DeviceStore.from_host(
-            matrix,
+        return DeviceStore.from_parquet_sharded(
+            path,
             self.mesh,
             dtype=cfg.search.store_dtype,
             chunk_rows=cfg.search.chunk_rows,
@@ -243,9 +244,12 @@ class Pipeline:
 
         # Query = stored vector ``query_idx`` (reference: main.rs:110-121).
         # The reference root-reads it then MPI-broadcasts (main.rs:123-125);
-        # here the row is read host-side and replication is implicit.
-        gstore = global_store(cfg.store.dir, empty=False)
-        query = gstore.get(cfg.search.query_idx)
+        # here one row is sliced out of Parquet and replication is implicit.
+        from .store.vectorstore import global_store_path, read_matrix_slice
+
+        query = read_matrix_slice(
+            global_store_path(cfg.store.dir), cfg.search.query_idx, 1
+        )[0]
 
         timer = self.bench.start("similarity_search")
         top_k = engine.search_single(query, cfg.search.top_k)

@@ -65,6 +65,8 @@ class DeviceStore:
     dim: int  #: valid feature dim (un-padded)
     per_device_rows: int
     chunk: int  #: scan chunk; divides per_device_rows
+    #: Original embedding dim when rows were Matryoshka-truncated, else None.
+    matryoshka_from: Optional[int] = None
 
     @staticmethod
     def from_host(
@@ -73,11 +75,23 @@ class DeviceStore:
         dtype: str = "bfloat16",
         chunk_rows: int = 16384,
         data_axis: str = "data",
+        matryoshka_dim: Optional[int] = None,
     ) -> "DeviceStore":
         """Upload a host ``[N, D]`` float32 matrix as a normalized sharded
-        device store."""
+        device store.
+
+        ``matryoshka_dim``: keep only the first ``matryoshka_dim`` features
+        before normalizing (nomic-embed-text-v1.5 is Matryoshka-trained, so
+        truncation + re-normalization is the intended memory/quality trade —
+        BASELINE.json config 5 serves 10M vectors at 256-d this way). Queries
+        are truncated symmetrically by the engine.
+        """
         if matrix.ndim != 2:
             raise ValueError(f"expected [N, D], got {matrix.shape}")
+        matryoshka_from = None
+        if matryoshka_dim is not None and matryoshka_dim < matrix.shape[1]:
+            matryoshka_from = matrix.shape[1]
+            matrix = np.ascontiguousarray(matrix[:, :matryoshka_dim])
         n, d = matrix.shape
         if n == 0:
             raise ValueError("cannot build a device store from 0 rows")
@@ -105,6 +119,78 @@ class DeviceStore:
             dim=d,
             per_device_rows=per_dev,
             chunk=chunk,
+            matryoshka_from=matryoshka_from,
+        )
+
+    @staticmethod
+    def from_parquet_sharded(
+        path,
+        mesh: Mesh,
+        dtype: str = "bfloat16",
+        chunk_rows: int = 16384,
+        data_axis: str = "data",
+        matryoshka_dim: Optional[int] = None,
+    ) -> "DeviceStore":
+        """Build the device store with each host parsing **only its own row
+        blocks** from the merged Parquet store.
+
+        This is the multi-host store lifecycle (build on N ingest hosts,
+        serve on M search hosts): row count comes from Parquet metadata,
+        each addressable device's block is read with
+        :func:`..store.vectorstore.read_matrix_slice`, and the global sharded
+        array is assembled with ``jax.make_array_from_single_device_arrays``
+        — no host ever holds the full matrix. The reference's equivalent
+        path makes every rank parse the entire global.parquet
+        (src/mpi_helpers/metrics.rs:23-33).
+        """
+        from .vectorstore import parquet_row_count, read_matrix_slice
+
+        n = parquet_row_count(path)
+        if n == 0:
+            raise ValueError(f"store at {path} is empty")
+        probe = read_matrix_slice(path, 0, 1)
+        d_full = probe.shape[1]
+        d = min(matryoshka_dim, d_full) if matryoshka_dim else d_full
+        matryoshka_from = d_full if d < d_full else None
+
+        n_shards = mesh.shape[data_axis]
+        chunk = _choose_chunk(-(-n // n_shards), chunk_rows)
+        per_dev = pad_to_multiple(-(-n // n_shards), chunk)
+        padded_rows = per_dev * n_shards
+        padded_dim = pad_to_multiple(d, LANE)
+
+        spec = [None, None]
+        spec[0] = data_axis
+        sharding = NamedSharding(mesh, P(*spec))
+        axis_pos = mesh.axis_names.index(data_axis)
+
+        buffers = []
+        for dev in mesh.devices.flatten():
+            if dev.process_index != jax.process_index():
+                continue
+            coords = np.argwhere(mesh.devices == dev)[0]
+            shard_idx = int(coords[axis_pos])
+            start = shard_idx * per_dev
+            valid = max(0, min(per_dev, n - start))
+            block = np.zeros((per_dev, padded_dim), dtype=np.float32)
+            if valid:
+                rows = read_matrix_slice(path, start, valid)[:, :d]
+                norms = np.linalg.norm(rows, axis=1, keepdims=True)
+                block[:valid, :d] = rows / np.where(norms == 0.0, 1.0, norms)
+            buffers.append(
+                jax.device_put(block.astype(jnp.dtype(dtype)), dev)
+            )
+        arr = jax.make_array_from_single_device_arrays(
+            (padded_rows, padded_dim), sharding, buffers
+        )
+        return DeviceStore(
+            data=arr,
+            mesh=mesh,
+            num_rows=n,
+            dim=d,
+            per_device_rows=per_dev,
+            chunk=chunk,
+            matryoshka_from=matryoshka_from,
         )
 
     def effective_matrix(self) -> np.ndarray:

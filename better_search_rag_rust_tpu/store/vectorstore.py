@@ -226,6 +226,73 @@ def global_store(
     return ParquetVectorStore(global_store_path(store_dir), empty=empty)
 
 
+def parquet_row_count(path: str | os.PathLike) -> int:
+    """Row count from Parquet metadata only — no data read. The reference has
+    no metadata path at all: ``get_count`` requires the full frame in memory
+    (src/vectorstore/polars.rs:243-246 after :50-77)."""
+    path = Path(path)
+    if not path.exists() or path.stat().st_size == 0:
+        return 0
+    return pq.ParquetFile(path).metadata.num_rows
+
+
+def read_matrix_slice(
+    path: str | os.PathLike, offset: int, length: int
+) -> np.ndarray:
+    """Read only rows ``[offset, offset+length)`` as an ``[length, D]`` f32
+    matrix, skipping non-overlapping row groups.
+
+    This is the multi-host store lifecycle primitive: a store built by N
+    ingest hosts and merged once can be served by M hosts, each parsing only
+    its own block — where the reference makes **every rank parse the entire
+    global.parquet** and then slice (src/mpi_helpers/metrics.rs:23-33 ->
+    polars.rs:50-77).
+    """
+    if length <= 0:
+        return np.zeros((0, 0), dtype=np.float32)
+    pf = pq.ParquetFile(path)
+    end = offset + length
+    picked = []
+    row_start = 0
+    for rg in range(pf.num_row_groups):
+        rg_rows = pf.metadata.row_group(rg).num_rows
+        row_end = row_start + rg_rows
+        if row_end > offset and row_start < end:
+            picked.append((rg, row_start))
+        row_start = row_end
+    if not picked:
+        raise IndexError(
+            f"slice ({offset}, {length}) out of range for {row_start} rows"
+        )
+    chunks = []
+    for rg, rg_start in picked:
+        table = pf.read_row_group(rg, columns=[EMBEDDINGS_COLUMN])
+        col = table.column(EMBEDDINGS_COLUMN)
+        mats = []
+        for chunk in col.chunks:
+            if pa.types.is_fixed_size_list(chunk.type):
+                dim = chunk.type.list_size
+                mats.append(
+                    np.asarray(chunk.values, dtype=np.float32).reshape(-1, dim)
+                )
+            else:
+                mats.append(
+                    np.asarray(
+                        [np.asarray(v, dtype=np.float32) for v in chunk.to_pylist()]
+                    )
+                )
+        mat = np.concatenate(mats) if len(mats) > 1 else mats[0]
+        lo = max(0, offset - rg_start)
+        hi = min(mat.shape[0], end - rg_start)
+        chunks.append(mat[lo:hi])
+    out = np.concatenate(chunks) if len(chunks) > 1 else chunks[0]
+    if out.shape[0] != length:
+        raise IndexError(
+            f"slice ({offset}, {length}) out of range ({out.shape[0]} read)"
+        )
+    return np.ascontiguousarray(out)
+
+
 def merge_vector_stores(
     num_shards: int, store_dir: str | os.PathLike
 ) -> ParquetVectorStore:

@@ -1,0 +1,108 @@
+"""Sliced Parquet reads, sharded device-store loading, Matryoshka truncation."""
+
+import numpy as np
+import pytest
+
+from better_search_rag_rust_tpu.config import SearchConfig
+from better_search_rag_rust_tpu.ops import SearchEngine
+from better_search_rag_rust_tpu.store import DeviceStore
+from better_search_rag_rust_tpu.store.vectorstore import (
+    ParquetVectorStore,
+    parquet_row_count,
+    read_matrix_slice,
+)
+from better_search_rag_rust_tpu.utils.testing import mock_embeddings
+
+
+@pytest.fixture()
+def parquet_store(tmp_path):
+    path = tmp_path / "global.parquet"
+    mat = mock_embeddings(257, dim=48, seed=31)
+    st = ParquetVectorStore(path, empty=True)
+    st.append_many(mat)
+    st.persist()
+    return path, mat
+
+
+def test_parquet_row_count_metadata_only(parquet_store, tmp_path):
+    path, mat = parquet_store
+    assert parquet_row_count(path) == 257
+    assert parquet_row_count(tmp_path / "missing.parquet") == 0
+
+
+def test_read_matrix_slice(parquet_store):
+    path, mat = parquet_store
+    np.testing.assert_allclose(read_matrix_slice(path, 0, 257), mat)
+    np.testing.assert_allclose(read_matrix_slice(path, 100, 57), mat[100:157])
+    np.testing.assert_allclose(read_matrix_slice(path, 256, 1), mat[256:257])
+    assert read_matrix_slice(path, 0, 0).size == 0
+    with pytest.raises(IndexError):
+        read_matrix_slice(path, 250, 100)
+
+
+def test_from_parquet_sharded_matches_from_host(parquet_store, mesh8):
+    path, mat = parquet_store
+    a = DeviceStore.from_host(mat, mesh8, dtype="float32", chunk_rows=64)
+    b = DeviceStore.from_parquet_sharded(
+        path, mesh8, dtype="float32", chunk_rows=64
+    )
+    assert (a.num_rows, a.dim) == (b.num_rows, b.dim)
+    np.testing.assert_allclose(
+        a.effective_matrix(), b.effective_matrix(), atol=1e-6
+    )
+    # search parity
+    qs = mock_embeddings(4, dim=48, seed=32)
+    ia, da = SearchEngine(a, SearchConfig(kernel="global")).search(qs, 7)
+    ib, db = SearchEngine(b, SearchConfig(kernel="global")).search(qs, 7)
+    np.testing.assert_array_equal(ia, ib)
+    np.testing.assert_allclose(da, db, atol=1e-6)
+
+
+def test_matryoshka_store_truncation(mesh8):
+    mat = mock_embeddings(200, dim=64, seed=33)
+    store = DeviceStore.from_host(
+        mat, mesh8, dtype="float32", chunk_rows=64, matryoshka_dim=32
+    )
+    assert store.dim == 32
+    assert store.matryoshka_from == 64
+    engine = SearchEngine(store, SearchConfig(kernel="global"))
+    # full-dim queries are truncated symmetrically
+    ids, dists = engine.search(mat[:3], k=5)
+    assert ids[0, 0] == 0 and ids[1, 0] == 1 and ids[2, 0] == 2
+    # truncated search == search over host-truncated+renormalized rows
+    ref_store = DeviceStore.from_host(
+        np.ascontiguousarray(mat[:, :32]), mesh8, dtype="float32",
+        chunk_rows=64,
+    )
+    ref_ids, ref_d = SearchEngine(
+        ref_store, SearchConfig(kernel="global")
+    ).search(np.ascontiguousarray(mat[:3, :32]), k=5)
+    np.testing.assert_array_equal(ids, ref_ids)
+    np.testing.assert_allclose(dists, ref_d, atol=1e-6)
+
+
+def test_matryoshka_sharded_loader(parquet_store, mesh8):
+    path, mat = parquet_store
+    store = DeviceStore.from_parquet_sharded(
+        path, mesh8, dtype="float32", chunk_rows=64, matryoshka_dim=16
+    )
+    assert store.dim == 16 and store.matryoshka_from == 48
+    engine = SearchEngine(store, SearchConfig(kernel="global"))
+    ids, _ = engine.search(mat[5], k=3)  # full-dim query auto-truncates
+    assert ids[0, 0] == 5
+
+
+def test_profiling_utils_smoke(tmp_path):
+    import jax.numpy as jnp
+
+    from better_search_rag_rust_tpu.utils.profiling import (
+        annotate,
+        device_trace,
+        memory_stats,
+    )
+
+    with device_trace(str(tmp_path / "trace")):
+        with annotate("phase"):
+            _ = jnp.ones((8, 8)) @ jnp.ones((8, 8))
+    assert (tmp_path / "trace").exists()
+    assert isinstance(memory_stats(), dict)
