@@ -137,6 +137,10 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
 
     args = parser.parse_args(argv)
 
+    from .launch import maybe_init_distributed
+
+    maybe_init_distributed()
+
     if args.command == "bench":
         from .bench.suite import run_suite
 

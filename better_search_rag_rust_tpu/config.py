@@ -135,6 +135,13 @@ class PipelineConfig:
     #: Skip ingest+embed and serve search from the persisted global store
     #: (reference: SKIP_PROCESS env, src/main.rs:42-45).
     skip_process: bool = False
+    #: Resume a partially completed ingest from the shard's progress marker.
+    #: The reference has no partial-progress resume at all (SURVEY.md §5
+    #: "Checkpoint / resume": a crashed embed phase restarts from zero).
+    resume: bool = False
+    #: Persist the shard store + progress marker every N batches during
+    #: ingest (0 = only at the end, the reference's behavior).
+    checkpoint_every_batches: int = 16
 
     @staticmethod
     def from_env() -> "PipelineConfig":

@@ -1,0 +1,43 @@
+"""Multi-host launch helpers — the TPU-native replacement for the
+reference's launch infra (reference: makefile:13-14 ``mpiexec -n $(N)``,
+run-slurm.sh, hostfile ``localhost slots=32``).
+
+On TPU pods there is no mpiexec: every host runs the same program and joins
+the cluster via ``jax.distributed.initialize``. GKE/GCE TPU environments
+inject the coordinator automatically; elsewhere, set:
+
+    BSR_COORDINATOR=host0:8476  BSR_NUM_PROCESSES=4  BSR_PROCESS_ID=0..3
+
+`scripts/launch_pod.sh` fans the same command out to every pod worker.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+from .utils.logging import host_log
+
+
+def maybe_init_distributed() -> bool:
+    """Join the multi-host cluster when the env asks for it; no-op (False)
+    for single-host runs. Safe to call more than once."""
+    import jax
+
+    if jax.process_count() > 1:  # already initialized by the platform
+        return True
+    coord = os.environ.get("BSR_COORDINATOR")
+    nproc = os.environ.get("BSR_NUM_PROCESSES")
+    if not coord or not nproc:
+        return False
+    pid = int(os.environ.get("BSR_PROCESS_ID", "0"))
+    jax.distributed.initialize(
+        coordinator_address=coord,
+        num_processes=int(nproc),
+        process_id=pid,
+    )
+    host_log(
+        f"joined cluster {coord} as process {pid}/{nproc} "
+        f"({len(jax.local_devices())} local devices)"
+    )
+    return True

@@ -95,6 +95,47 @@ class SearchEngine:
         distances = 1.0 - np.clip(sims, -1.0, 1.0)
         return indices, distances
 
+    def search_stream(self, batches, k: Optional[int] = None):
+        """Pipelined streaming search: yields ``(indices, distances)`` per
+        query batch, dispatching batch ``i+1`` to the device before batch
+        ``i``'s results are pulled back, so host transfer overlaps device
+        compute (BASELINE.json config 5: "streaming queries").
+
+        Batches sharing one shape reuse a single compiled program; a new
+        shape compiles once.
+        """
+        import jax.numpy as jnp
+
+        k = self.config.top_k if k is None else k
+        if k <= 0:
+            raise ValueError(f"top_k must be positive, got {k}")
+        k_eff = min(k, self.store.num_rows)
+        padded_dim = self.store.data.shape[1]
+
+        def dispatch(q):
+            q = self._prepare_queries(q)
+            if padded_dim != q.shape[1]:
+                padded = np.zeros((q.shape[0], padded_dim), dtype=np.float32)
+                padded[:, : q.shape[1]] = q
+                q = padded
+            fn = self._get_fn(q.shape[0], k_eff)
+            return fn(self.store.data, jnp.asarray(q))
+
+        def collect(out):
+            vals, ids = out
+            sims = np.asarray(jax.device_get(vals), dtype=np.float32)
+            indices = np.asarray(jax.device_get(ids), dtype=np.int64)
+            return indices, 1.0 - np.clip(sims, -1.0, 1.0)
+
+        pending = None
+        for q in batches:
+            current = dispatch(q)
+            if pending is not None:
+                yield collect(pending)
+            pending = current
+        if pending is not None:
+            yield collect(pending)
+
     def search_single(
         self, query: np.ndarray, k: Optional[int] = None
     ) -> list[tuple[int, float]]:

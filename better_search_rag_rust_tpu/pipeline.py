@@ -150,29 +150,60 @@ class Pipeline:
 
         mine = slice_for_shard(shard, num_shards, files)
         stats.files_assigned = len(mine)
-        store = local_store(cfg.store.dir, shard, empty=True)
+
+        # Partial-progress resume: the shard's `.progress` marker records how
+        # many assigned files have been fully embedded+persisted. The
+        # reference restarts the whole embed phase on any crash (SURVEY.md §5
+        # "Checkpoint / resume" — no within-phase resume exists there).
+        from .store.vectorstore import local_store_path
+
+        progress_path = local_store_path(cfg.store.dir, shard).with_suffix(
+            ".progress"
+        )
+        done_files = 0
+        if cfg.resume and progress_path.exists():
+            try:
+                done_files = min(int(progress_path.read_text().strip()), len(mine))
+            except ValueError:
+                done_files = 0
+        if done_files > 0:
+            store = local_store(cfg.store.dir, shard, empty=False)
+            stats.embeddings = store.count
+            host_log(
+                f"shard {shard}: resuming after {done_files} files "
+                f"({store.count} embeddings already persisted)"
+            )
+        else:
+            store = local_store(cfg.store.dir, shard, empty=True)
+
+        def checkpoint(files_done: int) -> None:
+            store.persist()  # reference: tasks.rs:163-172
+            progress_path.parent.mkdir(parents=True, exist_ok=True)
+            progress_path.write_text(str(files_done))
 
         timer = self.bench.start("embedding_generation")
         bsz = cfg.corpus.files_per_batch
-        for start in range(0, len(mine), bsz):
+        ckpt_every = cfg.checkpoint_every_batches
+        for batch_idx, start in enumerate(range(done_files, len(mine), bsz)):
             batch_paths = mine[start : start + bsz]
             contents = read_files(batch_paths, cfg.corpus.max_file_bytes)
             texts = [c for _p, c in contents if c]
             stats.files_skipped += len(batch_paths) - len(texts)
             stats.files_read += len(texts)
-            if not texts:
-                continue
-            try:
-                emb = self.encoder.get_embeddings(texts)
-            except Exception as exc:  # log-and-continue, tasks.rs:118-124
-                host_log(
-                    f"batch {start // bsz} failed ({len(texts)} files): {exc}"
-                )
-                stats.failed_batches += 1
-                continue
-            store.append_many(emb)
-            stats.embeddings += emb.shape[0]
-        store.persist()  # reference: tasks.rs:163-172
+            if texts:
+                try:
+                    emb = self.encoder.get_embeddings(texts)
+                except Exception as exc:  # log-and-continue, tasks.rs:118-124
+                    host_log(
+                        f"batch {start // bsz} failed ({len(texts)} files): {exc}"
+                    )
+                    stats.failed_batches += 1
+                    continue
+                store.append_many(emb)
+                stats.embeddings += emb.shape[0]
+            if ckpt_every and (batch_idx + 1) % ckpt_every == 0:
+                checkpoint(start + len(batch_paths))
+        checkpoint(len(mine))
         self.bench.record(timer.stop(items_processed=stats.embeddings))
         host_log(
             f"shard {shard}: {stats.embeddings} embeddings "
