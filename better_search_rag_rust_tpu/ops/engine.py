@@ -252,6 +252,7 @@ class SearchEngine:
                 return global_topk(
                     shard, queries_cast, k_eff, base, num_rows, q_tile,
                     use_pallas=(kernel == "pallas"),
+                    block=self.config.row_block,
                 )
             return local_topk(
                 shard, queries_cast, k_eff, chunk, base, num_rows, kernel

@@ -157,6 +157,7 @@ def global_topk(
     num_rows: int,
     q_tile: int = 256,
     use_pallas: bool = False,
+    block: int = BLOCK,
 ) -> Tuple[jax.Array, jax.Array]:
     """One device's exact top-k via dense two-stage block selection.
 
@@ -175,11 +176,11 @@ def global_topk(
     MXU matmul stays large.
     """
     rows_valid, _d = shard.shape
-    pad_r = (-rows_valid) % BLOCK
-    if pad_r:  # tiny shard: round rows up to a whole 128-block
+    pad_r = (-rows_valid) % block
+    if pad_r:  # tiny shard: round rows up to a whole block
         shard = jnp.pad(shard, ((0, pad_r), (0, 0)))
     rows_local = rows_valid + pad_r
-    nb = rows_local // BLOCK
+    nb = rows_local // block
     kb = min(k, nb)
     q = queries_cast.shape[0]
     base_i32 = base.astype(jnp.int32) if hasattr(base, "astype") else jnp.int32(base)
@@ -209,30 +210,31 @@ def global_topk(
 
             limit = jnp.minimum(num_rows - base_i32, rows_valid)
             sims, bm_t = matmul_blockmax(
-                q_block, shard, limit, interpret=default_interpret()
+                q_block, shard, limit, interpret=default_interpret(),
+                block=block,
             )
             block_max = bm_t.T  # kernel emits [blocks, T] (lane alignment)
-            sims3 = sims.reshape(q_tile, nb, BLOCK)
+            sims3 = sims.reshape(q_tile, nb, block)
         else:
             sims = jnp.dot(
                 q_block, shard.T, preferred_element_type=jnp.float32,
                 precision=jax.lax.Precision.HIGHEST,
             )  # [T, rows_local] f32
             sims = jnp.where(valid[None, :], sims, PAD_SIM)
-            sims3 = sims.reshape(q_tile, nb, BLOCK)
+            sims3 = sims.reshape(q_tile, nb, block)
             block_max = jnp.max(sims3, axis=2)  # [T, NB]
         _, block_ids = jax.lax.top_k(block_max, kb)
         block_ids = jnp.sort(block_ids, axis=1)  # ascending: oracle tie order
         cand_vals = jnp.take_along_axis(
             sims3, block_ids[:, :, None], axis=1
-        ).reshape(q_tile, kb * BLOCK)
+        ).reshape(q_tile, kb * block)
         cand_ids = (
             base_i32
-            + block_ids[:, :, None] * BLOCK
-            + jnp.arange(BLOCK, dtype=jnp.int32)[None, None, :]
-        ).reshape(q_tile, kb * BLOCK)
-        if kb * BLOCK < k:  # tiny shard: fewer rows than k — pad candidates
-            pad = k - kb * BLOCK
+            + block_ids[:, :, None] * block
+            + jnp.arange(block, dtype=jnp.int32)[None, None, :]
+        ).reshape(q_tile, kb * block)
+        if kb * block < k:  # tiny shard: fewer rows than k — pad candidates
+            pad = k - kb * block
             cand_vals = jnp.pad(cand_vals, ((0, 0), (0, pad)),
                                 constant_values=PAD_SIM)
             cand_ids = jnp.pad(cand_ids, ((0, 0), (0, pad)),
