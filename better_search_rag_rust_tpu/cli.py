@@ -67,6 +67,9 @@ def _add_common(p: argparse.ArgumentParser) -> None:
     srch.add_argument("--chunk-rows", type=int, default=16384)
     srch.add_argument("--search-kernel", default="auto",
                       choices=["auto", "global", "scan", "blockmax", "pallas"])
+    srch.add_argument("--query", default=None, metavar="TEXT",
+                      help="free-text query: encode and retrieve matching "
+                           "corpus files instead of the self-retrieval check")
 
 
 def _config_from_args(args, skip_process: bool) -> PipelineConfig:
@@ -160,6 +163,16 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
             f"from {stats.files_read} files ({stats.files_skipped} skipped)"
         )
         print(pipeline.bench.generate_report())
+        return 0
+
+    if args.query is not None:
+        if args.command == "run":
+            pipeline.ingest_shard()
+            pipeline.merge()
+        ranked = pipeline.query([args.query])[0]
+        print(f"\nTop-{len(ranked)} files for query: {args.query!r}")
+        for rank, (path, idx, dist) in enumerate(ranked, 1):
+            print(f"  {rank:>3}. {path}  (row {idx}, dist {dist:.6f})")
         return 0
 
     result = pipeline.run()

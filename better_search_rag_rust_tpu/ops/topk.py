@@ -175,6 +175,10 @@ def global_topk(
     bytes); tiles run under ``lax.map`` so peak memory stays flat while the
     MXU matmul stays large.
     """
+    if use_pallas and block % 128:
+        # Mosaic cannot lane-tile a sub-128 block-max reshape (measured:
+        # block=64 fails to compile); the XLA path handles any width.
+        use_pallas = False
     rows_valid, _d = shard.shape
     pad_r = (-rows_valid) % block
     if pad_r:  # tiny shard: round rows up to a whole block

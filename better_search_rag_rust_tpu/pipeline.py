@@ -166,9 +166,17 @@ class Pipeline:
                 done_files = min(int(progress_path.read_text().strip()), len(mine))
             except ValueError:
                 done_files = 0
+        paths_file = local_store_path(cfg.store.dir, shard).with_suffix(
+            ".paths.json"
+        )
+        row_paths: List[str] = []
         if done_files > 0:
             store = local_store(cfg.store.dir, shard, empty=False)
             stats.embeddings = store.count
+            if paths_file.exists():
+                import json
+
+                row_paths = json.loads(paths_file.read_text())
             host_log(
                 f"shard {shard}: resuming after {done_files} files "
                 f"({store.count} embeddings already persisted)"
@@ -177,9 +185,15 @@ class Pipeline:
             store = local_store(cfg.store.dir, shard, empty=True)
 
         def checkpoint(files_done: int) -> None:
+            import json
+
             store.persist()  # reference: tasks.rs:163-172
             progress_path.parent.mkdir(parents=True, exist_ok=True)
             progress_path.write_text(str(files_done))
+            # Row -> source-file manifest (one path per stored row, in row
+            # order). The reference only ever reports bare row indices; this
+            # is what lets search results resolve back to files.
+            paths_file.write_text(json.dumps(row_paths))
 
         timer = self.bench.start("embedding_generation")
         bsz = cfg.corpus.files_per_batch
@@ -187,7 +201,8 @@ class Pipeline:
         for batch_idx, start in enumerate(range(done_files, len(mine), bsz)):
             batch_paths = mine[start : start + bsz]
             contents = read_files(batch_paths, cfg.corpus.max_file_bytes)
-            texts = [c for _p, c in contents if c]
+            kept = [(p, c) for p, c in contents if c]
+            texts = [c for _p, c in kept]
             stats.files_skipped += len(batch_paths) - len(texts)
             stats.files_read += len(texts)
             if texts:
@@ -200,6 +215,7 @@ class Pipeline:
                     stats.failed_batches += 1
                     continue
                 store.append_many(emb)
+                row_paths.extend(str(p) for p, _c in kept)
                 stats.embeddings += emb.shape[0]
             if ckpt_every and (batch_idx + 1) % ckpt_every == 0:
                 checkpoint(start + len(batch_paths))
@@ -219,10 +235,30 @@ class Pipeline:
         num_shards = nprocs if num_shards is None else num_shards
         count = 0
         if proc == 0:
+            import json
+
             timer = self.bench.start("vector_store_merge")
             merged = merge_vector_stores(num_shards, self.config.store.dir)
             merged.persist()
             count = merged.count
+            # Merge per-shard row->path manifests in the same shard order the
+            # embeddings merged in, keeping global indices aligned.
+            from .store.vectorstore import local_store_path, manifest_path
+
+            all_paths: List[str] = []
+            have_all = True
+            for s_idx in range(num_shards):
+                pf = local_store_path(self.config.store.dir, s_idx).with_suffix(
+                    ".paths.json"
+                )
+                if pf.exists():
+                    all_paths.extend(json.loads(pf.read_text()))
+                else:
+                    have_all = False
+            if have_all and len(all_paths) == count:
+                manifest_path(self.config.store.dir).write_text(
+                    json.dumps(all_paths)
+                )
             self.bench.record(timer.stop(items_processed=count))
             host_log(f"merged {num_shards} shards -> {count} vectors")
         _host_barrier("merge")  # ≙ main.rs:107
@@ -256,6 +292,39 @@ class Pipeline:
                 store or self.load_device_store(), self.config.search
             )
         return self._engine
+
+    # -- text retrieval -----------------------------------------------------------
+
+    def query(
+        self, texts: Sequence[str], k: Optional[int] = None
+    ) -> List[List[Tuple[str, int, float]]]:
+        """Retrieve the top-k corpus files for text queries.
+
+        Returns, per query, a ranked ``[(source path, store row, cosine
+        distance)]`` list. Paths come from the row manifest written at
+        ingest; when the store predates the manifest (or was built by other
+        tooling), the path field degrades to ``"row:{idx}"``. The reference
+        has no text-query path at all — its only query is a stored vector
+        (src/main.rs:110-121).
+        """
+        from .store.vectorstore import load_manifest
+
+        k = self.config.search.top_k if k is None else k
+        emb = self.encoder.get_embeddings(list(texts))
+        ids, dists = self.engine().search(emb, k)
+        manifest = load_manifest(self.config.store.dir)
+        out: List[List[Tuple[str, int, float]]] = []
+        for row_ids, row_dists in zip(ids, dists):
+            ranked = []
+            for idx, dist in zip(row_ids.tolist(), row_dists.tolist()):
+                path = (
+                    manifest[idx]
+                    if manifest is not None and 0 <= idx < len(manifest)
+                    else f"row:{idx}"
+                )
+                ranked.append((path, int(idx), float(dist)))
+            out.append(ranked)
+        return out
 
     # -- full driver --------------------------------------------------------------
 

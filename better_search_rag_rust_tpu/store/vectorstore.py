@@ -226,6 +226,22 @@ def global_store(
     return ParquetVectorStore(global_store_path(store_dir), empty=empty)
 
 
+def manifest_path(store_dir: str | os.PathLike) -> Path:
+    """Row->source-file manifest for the merged store (written at merge;
+    JSON list, one path per global row)."""
+    return Path(store_dir) / "manifest.json"
+
+
+def load_manifest(store_dir: str | os.PathLike) -> Optional[List[str]]:
+    """The merged row->path manifest, or None when ingest never wrote one."""
+    import json
+
+    p = manifest_path(store_dir)
+    if not p.exists():
+        return None
+    return json.loads(p.read_text())
+
+
 def parquet_row_count(path: str | os.PathLike) -> int:
     """Row count from Parquet metadata only — no data read. The reference has
     no metadata path at all: ``get_count`` requires the full frame in memory

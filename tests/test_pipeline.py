@@ -173,3 +173,46 @@ def test_cli_run_and_search(corpus_dir, tmp_path, capsys):
     ])
     assert rc == 0
     assert "MRR=1.0000" in capsys.readouterr().out
+
+
+def test_text_query_returns_paths(corpus_dir, tmp_path):
+    """Free-text retrieval maps results back to source files via the row
+    manifest written at ingest."""
+    cfg = _config(corpus_dir, tmp_path)
+    p = Pipeline(cfg)
+    p.ingest_shard()
+    p.merge()
+    ranked = p.query(["public class File3 int field3 void method3"], k=3)[0]
+    assert len(ranked) == 3
+    paths = [r[0] for r in ranked]
+    assert any(path.endswith("File3.java") for path in paths)
+    assert paths[0].endswith(".java")
+    # (path, row, distance) triples, distances ascending
+    dists = [r[2] for r in ranked]
+    assert dists == sorted(dists)
+
+
+def test_text_query_without_manifest_degrades(corpus_dir, tmp_path):
+    from better_search_rag_rust_tpu.store.vectorstore import manifest_path
+
+    cfg = _config(corpus_dir, tmp_path)
+    p = Pipeline(cfg)
+    p.ingest_shard()
+    p.merge()
+    manifest_path(cfg.store.dir).unlink()
+    ranked = Pipeline(cfg.replace(skip_process=True)).query(["class Util0"], k=2)[0]
+    assert all(path.startswith("row:") for path, _i, _d in ranked)
+
+
+def test_cli_text_query(corpus_dir, tmp_path, capsys):
+    from better_search_rag_rust_tpu.cli import main
+
+    store_dir = str(tmp_path / "q_store")
+    rc = main([
+        "run", "--root", str(corpus_dir), "--store-dir", store_dir,
+        "--encoder-backend", "hash", "--dim", "64", "--max-tokens", "32",
+        "--encode-batch-size", "4", "--query", "static String helper2",
+    ])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "Top-" in out and ".java" in out
