@@ -108,3 +108,28 @@ def test_graft_dryrun_multichip():
     import __graft_entry__ as ge
 
     ge.dryrun_multichip(8)
+
+
+def test_checkpoint_roundtrip_preserves_sharding(tiny_cfg, dp_tp_mesh, tmp_path):
+    import numpy as np
+
+    from better_search_rag_rust_tpu.models.checkpoint import (
+        load_params,
+        save_params,
+    )
+    from jax.sharding import PartitionSpec as P
+
+    trainer = ContrastiveTrainer(tiny_cfg, dp_tp_mesh)
+    path = tmp_path / "ckpt"
+    save_params(path, trainer.state.params)
+    restored = load_params(path, like=trainer.state.params)
+    orig = jax.device_get(trainer.state.params["layer_0"]["attn"]["Wqkv"]["kernel"])
+    back = jax.device_get(restored["layer_0"]["attn"]["Wqkv"]["kernel"])
+    np.testing.assert_array_equal(orig, back)
+    assert restored["layer_0"]["attn"]["Wqkv"]["kernel"].sharding.spec == P(None, "model")
+
+    # resume training from the restored params
+    resumed = ContrastiveTrainer(tiny_cfg, dp_tp_mesh, params=restored)
+    ids = np.ones((8, 8), np.int32)
+    loss = resumed.train_step(ids, ids * 0 + 1, ids, ids * 0 + 1)
+    assert np.isfinite(loss)
