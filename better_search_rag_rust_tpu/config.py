@@ -69,6 +69,9 @@ class EncoderConfig:
     matryoshka_dim: Optional[int] = None
     #: Compute dtype for the forward pass.
     dtype: str = "bfloat16"
+    #: Attention implementation: "auto" (Pallas flash attention on TPU,
+    #: explicit XLA attention elsewhere), "flash", or "xla".
+    attention_impl: str = "auto"
     #: Batch size for the jitted forward (fixed shape for XLA cache hits).
     batch_size: int = 32
     #: "nomic" = real Flax model (random-init unless checkpoint_dir is set),

@@ -243,3 +243,30 @@ def test_hf_param_conversion_roundtrip():
         np.ones((1, 8), np.int32), np.ones((1, 8), np.int32)
     )
     assert out.shape == (1, 16) and np.isfinite(out).all()
+
+
+def test_flash_attention_matches_xla_interpret():
+    """The Pallas flash-attention path (interpreted on CPU) must match the
+    explicit XLA attention within bf16 tolerance, including key padding."""
+    import dataclasses
+
+    from jax.experimental.pallas import tpu as pltpu
+
+    cfg_x = NomicBertConfig(
+        vocab_size=256, hidden_size=64, num_layers=2, num_heads=4,
+        mlp_dim=128, max_tokens=128, attention_impl="xla",
+    )
+    enc_x = NomicEncoder(cfg_x, seed=3)
+    cfg_f = dataclasses.replace(cfg_x, attention_impl="flash")
+    enc_f = NomicEncoder(cfg_f, params=enc_x.params)
+
+    rng = np.random.default_rng(5)
+    ids = rng.integers(1, 256, size=(2, 128)).astype(np.int32)
+    mask = np.ones((2, 128), np.int32)
+    mask[0, 70:] = 0  # padded row exercises segment masking
+
+    a = enc_x.encode_tokens(ids, mask)
+    with pltpu.force_tpu_interpret_mode():
+        b = enc_f.encode_tokens(ids, mask)
+    cos = np.sum(a * b, axis=1)
+    assert cos.min() > 0.999, cos
