@@ -145,6 +145,60 @@ def _merge_blockmax(
 
 
 # ---------------------------------------------------------------------------
+# Verified fast selection
+# ---------------------------------------------------------------------------
+
+
+def verified_topk(vals: jax.Array, k: int) -> Tuple[jax.Array, jax.Array]:
+    """Exact ``top_k`` with an ApproxTopK fast path.
+
+    ``lax.approx_max_k(recall_target=1.0)`` lowers to the TPU's PartialReduce
+    path and is ~2x faster than ``lax.top_k``, but it makes no tie-order
+    promise. This wrapper keeps exactness with a runtime proof:
+
+    let tau = min(returned values). The returned k positions are distinct and
+    all have value >= tau, so **if exactly k elements of the row satisfy
+    ``vals >= tau``, the returned set IS the unique exact top-k set** —
+    regardless of how the approximate pass ordered or chose among ties. Any
+    boundary ambiguity (duplicates straddling the k-th value, or an actual
+    miss, which would drag tau below the true k-th value) makes the count
+    exceed k and routes the whole batch through exact ``lax.top_k`` instead.
+
+    Returned values are sorted descending; among equal values the *set* is
+    exact but the order is not — callers that need the oracle's
+    ties-by-lowest-index order must reorder (:func:`_order_by_value_then_id`).
+
+    Status: available but NOT used in the hot path. Standalone, ApproxTopK at
+    recall_target=1.0 measured ~2x faster than ``lax.top_k`` on a v5e
+    ([Q=1024, 7936] f32, k=100), but integrated into :func:`global_topk` the
+    cond + set-proof passes made the end-to-end search ~10% slower (50.8 vs
+    45.6 ms on the 1M x 768 headline), so the integrated kernel keeps plain
+    ``top_k``.
+    """
+    if k >= vals.shape[1]:
+        return tuple(jax.lax.top_k(vals, k))
+    avals, apos = jax.lax.approx_max_k(vals, k, recall_target=1.0)
+    tau = avals[:, -1:]
+    set_exact = jnp.sum((vals >= tau).astype(jnp.int32), axis=1) == k
+    return jax.lax.cond(
+        jnp.all(set_exact),
+        lambda: (avals, apos),
+        lambda: tuple(jax.lax.top_k(vals, k)),
+    )
+
+
+def _order_by_value_then_id(
+    vals: jax.Array, ids: jax.Array, k: int
+) -> Tuple[jax.Array, jax.Array]:
+    """Sort ``[Q, k]`` candidates by (value desc, id asc) — the oracle's
+    order. O(k log k) on tiny rows, so cost is negligible."""
+    # +0.0 canonicalizes -0.0 so lax.sort's total order (-0 < +0) cannot
+    # split numerically-equal zeros across the id tie-break.
+    neg, ids_sorted = jax.lax.sort((-(vals + 0.0), ids), num_keys=2)
+    return -neg, ids_sorted
+
+
+# ---------------------------------------------------------------------------
 # Dense two-stage selection (no scan)
 # ---------------------------------------------------------------------------
 
@@ -227,6 +281,9 @@ def global_topk(
             sims = jnp.where(valid[None, :], sims, PAD_SIM)
             sims3 = sims.reshape(q_tile, nb, block)
             block_max = jnp.max(sims3, axis=2)  # [T, NB]
+        # Plain top_k measured faster here than the verified-ApproxTopK fast
+        # path (see verified_topk docstring): the lax.cond + set-proof passes
+        # cost more than they save once embedded in this fused program.
         _, block_ids = jax.lax.top_k(block_max, kb)
         block_ids = jnp.sort(block_ids, axis=1)  # ascending: oracle tie order
         cand_vals = jnp.take_along_axis(
@@ -243,6 +300,8 @@ def global_topk(
                                 constant_values=PAD_SIM)
             cand_ids = jnp.pad(cand_ids, ((0, 0), (0, pad)),
                                constant_values=jnp.iinfo(jnp.int32).max)
+        # top_k keeps the first occurrence among ties and the candidates are
+        # laid out index-ascending, so the oracle's tie order falls out free.
         top_vals, pos = jax.lax.top_k(cand_vals, k)
         return top_vals, jnp.take_along_axis(cand_ids, pos, axis=1)
 

@@ -2,6 +2,7 @@
 with top-k overlap 1.0 — the reference's parallel-vs-sequential exactness
 check (src/metrics.rs:98-141), run here on an emulated 8-device mesh."""
 
+import jax
 import numpy as np
 import pytest
 
@@ -194,3 +195,46 @@ def test_global_kernel_query_tiling(mesh8):
     ids, dists = engine.search(queries, k=9)
     o_ids, o_dists = engine.oracle_topk(queries, k=9)
     np.testing.assert_array_equal(ids, o_ids)
+
+
+def test_verified_topk_matches_exact():
+    """verified_topk returns the exact top-k SET for random and adversarial
+    (heavy-duplicate) inputs; the duplicate case exercises the lax.cond
+    fallback (boundary ties make the set-proof fail)."""
+    import jax.numpy as jnp
+
+    from better_search_rag_rust_tpu.ops.topk import verified_topk
+
+    rng = np.random.default_rng(51)
+    rand = jnp.asarray(rng.standard_normal((16, 512)).astype(np.float32))
+    dup = jnp.asarray(
+        np.tile(rng.standard_normal((16, 8)).astype(np.float32), (1, 64))
+    )
+    for vals in (rand, dup):
+        for k in (1, 7, 100):
+            got_v, got_p = verified_topk(vals, k)
+            ref_v, _ = jax.lax.top_k(vals, k)
+            np.testing.assert_array_equal(
+                np.sort(np.asarray(got_v), axis=1),
+                np.sort(np.asarray(ref_v), axis=1),
+            )
+            # returned positions are distinct and consistent with values
+            for row in range(vals.shape[0]):
+                pos = np.asarray(got_p)[row]
+                assert len(set(pos.tolist())) == k
+                np.testing.assert_array_equal(
+                    np.asarray(vals)[row, pos], np.asarray(got_v)[row]
+                )
+
+
+def test_duplicate_ties_still_exact_with_verified_selection(mesh8):
+    """End-to-end: a store saturated with duplicates (every selection hits
+    the fallback path) still matches the oracle exactly."""
+    base = mock_embeddings(8, dim=32, seed=52)
+    mat = np.tile(base, (32, 1))  # 256 rows, every row duplicated 32x
+    store = DeviceStore.from_host(mat, mesh8, dtype="float32", chunk_rows=128)
+    engine = SearchEngine(store, SearchConfig(kernel="global"))
+    ids, dists = engine.search(mat[:3], k=40)
+    o_ids, o_dists = engine.oracle_topk(mat[:3], k=40)
+    np.testing.assert_array_equal(ids, o_ids)
+    np.testing.assert_allclose(dists, o_dists, atol=1e-7)
