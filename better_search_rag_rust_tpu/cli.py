@@ -71,6 +71,10 @@ def _add_common(p: argparse.ArgumentParser) -> None:
                       help="free-text query: encode and retrieve matching "
                            "corpus files instead of the self-retrieval check")
 
+    p.add_argument("--profile-dir", default=None, metavar="DIR",
+                   help="capture a jax.profiler device trace of the run "
+                        "(view in TensorBoard/Perfetto)")
+
 
 def _config_from_args(args, skip_process: bool) -> PipelineConfig:
     return PipelineConfig(
@@ -137,6 +141,7 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
     bp.add_argument("--suite", default="search_1m",
                     help="benchmark config name (see bench/suite.py)")
     bp.add_argument("--json", action="store_true", dest="as_json")
+    bp.add_argument("--profile-dir", default=None, metavar="DIR")
 
     args = parser.parse_args(argv)
 
@@ -144,39 +149,50 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
 
     maybe_init_distributed()
 
-    if args.command == "bench":
-        from .bench.suite import run_suite
+    from contextlib import nullcontext
 
-        result = run_suite(args.suite)
-        print(json.dumps(result) if args.as_json else result)
-        return 0
+    profile_dir = getattr(args, "profile_dir", None)
+    if profile_dir:
+        from .utils.profiling import device_trace
 
-    from .pipeline import Pipeline
+        trace_ctx = device_trace(profile_dir)
+    else:
+        trace_ctx = nullcontext()
 
-    cfg = _config_from_args(args, skip_process=(args.command == "search"))
-    pipeline = Pipeline(cfg)
-    if args.command == "ingest":
-        stats = pipeline.ingest_shard()
-        pipeline.merge()
-        print(
-            f"ingested {stats.embeddings} embeddings "
-            f"from {stats.files_read} files ({stats.files_skipped} skipped)"
-        )
-        print(pipeline.bench.generate_report())
-        return 0
+    with trace_ctx:
+        if args.command == "bench":
+            from .bench.suite import run_suite
 
-    if args.query is not None:
-        if args.command == "run":
-            pipeline.ingest_shard()
+            result = run_suite(args.suite)
+            print(json.dumps(result) if args.as_json else result)
+            return 0
+
+        from .pipeline import Pipeline
+
+        cfg = _config_from_args(args, skip_process=(args.command == "search"))
+        pipeline = Pipeline(cfg)
+        if args.command == "ingest":
+            stats = pipeline.ingest_shard()
             pipeline.merge()
-        ranked = pipeline.query([args.query])[0]
-        print(f"\nTop-{len(ranked)} files for query: {args.query!r}")
-        for rank, (path, idx, dist) in enumerate(ranked, 1):
-            print(f"  {rank:>3}. {path}  (row {idx}, dist {dist:.6f})")
-        return 0
+            print(
+                f"ingested {stats.embeddings} embeddings "
+                f"from {stats.files_read} files ({stats.files_skipped} skipped)"
+            )
+            print(pipeline.bench.generate_report())
+            return 0
 
-    result = pipeline.run()
-    _print_result(result)
+        if args.query is not None:
+            if args.command == "run":
+                pipeline.ingest_shard()
+                pipeline.merge()
+            ranked = pipeline.query([args.query])[0]
+            print(f"\nTop-{len(ranked)} files for query: {args.query!r}")
+            for rank, (path, idx, dist) in enumerate(ranked, 1):
+                print(f"  {rank:>3}. {path}  (row {idx}, dist {dist:.6f})")
+            return 0
+
+        result = pipeline.run()
+        _print_result(result)
     return 0
 
 

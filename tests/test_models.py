@@ -270,3 +270,39 @@ def test_flash_attention_matches_xla_interpret():
         b = enc_f.encode_tokens(ids, mask)
     cos = np.sum(a * b, axis=1)
     assert cos.min() > 0.999, cos
+
+
+def test_classic_bert_gelu_backbone():
+    """The gelu activation path (classic BERT family, no gating) runs and
+    produces normalized embeddings — the framework supports both the
+    NomicBERT (swiglu/rotary) and vanilla BERT block structure."""
+    cfg = NomicBertConfig(
+        vocab_size=128, hidden_size=32, num_layers=2, num_heads=2,
+        mlp_dim=64, max_tokens=16, activation="gelu",
+    )
+    enc = NomicEncoder(cfg, seed=7)
+    ids = np.random.default_rng(8).integers(1, 128, size=(3, 16)).astype(np.int32)
+    mask = np.ones((3, 16), np.int32)
+    out = enc.encode_tokens(ids, mask)
+    assert out.shape == (3, 32)
+    assert np.isfinite(out).all()
+    np.testing.assert_allclose(np.linalg.norm(out, axis=1), 1.0, rtol=1e-3)
+
+
+def test_cli_profile_dir(tmp_path, capsys):
+    """--profile-dir captures a device trace around the run."""
+    from better_search_rag_rust_tpu.cli import main
+
+    root = tmp_path / "src"
+    root.mkdir()
+    for i in range(3):
+        (root / f"A{i}.java").write_text(f"class A{i} {{}}")
+    trace_dir = tmp_path / "trace"
+    rc = main([
+        "run", "--root", str(root), "--store-dir", str(tmp_path / "st"),
+        "--encoder-backend", "hash", "--dim", "32", "--max-tokens", "16",
+        "--top-k", "2", "--encode-batch-size", "2",
+        "--profile-dir", str(trace_dir),
+    ])
+    assert rc == 0
+    assert trace_dir.exists()
