@@ -146,32 +146,38 @@ class BenchmarkManager:
         import jax
 
         names = sorted(self._timings)
-        # [ops, 2] rows: (total seconds, total items or -1 sentinel —
-        # the reference uses the same -1 sentinel, benchmark.rs:267).
+        # [ops, 3] rows: (total seconds, item-count high 24 bits, low 24
+        # bits). process_allgather coerces to float32 under the default
+        # x64-disabled config, so counts > 2^24 are split into two exactly-
+        # representable halves (-1/-1 = the reference's no-items sentinel,
+        # benchmark.rs:267).
+        def _split(n):
+            if self.local_items(n) is None:
+                return (-1.0, -1.0)
+            v = int(self.local_items(n))
+            return (float(v >> 24), float(v & 0xFFFFFF))
+
         local = np.asarray(
-            [
-                [
-                    self.local_total(n),
-                    -1.0 if self.local_items(n) is None else float(self.local_items(n)),
-                ]
-                for n in names
-            ],
-            dtype=np.float64,
-        ).reshape(len(names), 2)
+            [[self.local_total(n), *_split(n)] for n in names],
+            dtype=np.float32,
+        ).reshape(len(names), 3)
 
         if jax.process_count() > 1:
             from jax.experimental import multihost_utils
 
             gathered = np.asarray(
                 multihost_utils.process_allgather(local)
-            )  # [hosts, ops, 2]
+            )  # [hosts, ops, 3]
         else:
             gathered = local[None]
 
         stats: Dict[str, OpStats] = {}
         for i, name in enumerate(names):
             secs = gathered[:, i, 0]
-            items = gathered[:, i, 1]
+            hi, lo = gathered[:, i, 1], gathered[:, i, 2]
+            items = np.where(
+                hi >= 0, hi.astype(np.int64) * (1 << 24) + lo.astype(np.int64), -1
+            )
             total_items = None
             if (items >= 0).any():
                 total_items = int(items[items >= 0].sum())

@@ -120,17 +120,14 @@ def top_k_overlap(
     ):
         return 0.0
     total = 0.0
-    counted = 0
     for seq, par in zip(sequential, parallel):
         actual_k = min(k, len(seq), len(par))
         if actual_k == 0:
             # reference skips the query but still divides by total queries
             # (src/metrics.rs:115-117,140)
-            counted += 1
             continue
         overlap = len(set(list(seq)[:actual_k]) & set(list(par)[:actual_k]))
         total += overlap / actual_k
-        counted += 1
     return total / len(sequential)
 
 

@@ -525,6 +525,7 @@ def load_hf_checkpoint(
             qkv_bias=hf.get("qkv_proj_bias", config.qkv_bias),
             mlp_bias=hf.get("mlp_fc1_bias", config.mlp_bias),
             dtype=config.dtype,
+            attention_impl=config.attention_impl,
         )
     state = _load_raw_state(ckpt)
     return config, convert_hf_params(state, config)

@@ -28,18 +28,25 @@ _build_failed = False
 
 
 def _build() -> bool:
+    """Compile to a process-unique temp file and atomically rename into
+    place, so concurrent processes can never dlopen a half-written .so."""
+    import os
+
+    tmp = _LIB.with_suffix(f".{os.getpid()}.tmp.so")
     try:
         subprocess.run(
             [
                 "g++", "-O2", "-std=c++17", "-shared", "-fPIC", "-pthread",
-                str(_SRC), "-o", str(_LIB),
+                str(_SRC), "-o", str(tmp),
             ],
             check=True,
             capture_output=True,
             timeout=120,
         )
+        os.replace(tmp, _LIB)
         return True
     except Exception:
+        tmp.unlink(missing_ok=True)
         return False
 
 

@@ -34,7 +34,11 @@ def find_files_by_extensions(
         raw = ctypes.string_at(ptr).decode("utf-8", errors="replace")
     finally:
         lib.bsr_free(ptr)
-    return [Path(line) for line in raw.splitlines() if line]
+    # Canonical order is Python's Path ordering (component-wise), which
+    # differs from the C++ std::string sort for names like "a-b" vs "a/x"
+    # ('-' < '/' as bytes). Re-sorting here keeps the SPMD block split
+    # identical whichever walker a host used.
+    return sorted(Path(line) for line in raw.splitlines() if line)
 
 
 def read_files(

@@ -66,6 +66,32 @@ class SearchEngine:
             )
         return queries
 
+    def _resolve_k(self, k: Optional[int]) -> int:
+        k = self.config.top_k if k is None else k
+        if k <= 0:
+            raise ValueError(f"top_k must be positive, got {k}")
+        return min(k, self.store.num_rows)
+
+    def _dispatch(self, queries: np.ndarray, k_eff: int):
+        """Prepare + zero-pad queries to the store's padded dim and launch
+        the compiled search; returns device arrays (async)."""
+        queries = self._prepare_queries(queries)
+        padded_dim = self.store.data.shape[1]
+        if padded_dim != queries.shape[1]:
+            padded = np.zeros((queries.shape[0], padded_dim), dtype=np.float32)
+            padded[:, : queries.shape[1]] = queries
+            queries = padded
+        fn = self._get_fn(queries.shape[0], k_eff)
+        return fn(self.store.data, jnp.asarray(queries))
+
+    @staticmethod
+    def _collect(out) -> Tuple[np.ndarray, np.ndarray]:
+        """Device (similarities, ids) -> host (ids int64, distances)."""
+        vals, ids = out
+        sims = np.asarray(jax.device_get(vals), dtype=np.float32)
+        indices = np.asarray(jax.device_get(ids), dtype=np.int64)
+        return indices, 1.0 - np.clip(sims, -1.0, 1.0)
+
     def search(
         self, queries: np.ndarray, k: Optional[int] = None
     ) -> Tuple[np.ndarray, np.ndarray]:
@@ -76,24 +102,7 @@ class SearchEngine:
         stored row count, src/mpi_helpers/metrics.rs:169), distances
         ascending, ties by lowest store row index.
         """
-        queries = self._prepare_queries(queries)
-        k = self.config.top_k if k is None else k
-        if k <= 0:
-            raise ValueError(f"top_k must be positive, got {k}")
-        k_eff = min(k, self.store.num_rows)
-
-        padded_dim = self.store.data.shape[1]
-        if padded_dim != queries.shape[1]:
-            padded = np.zeros((queries.shape[0], padded_dim), dtype=np.float32)
-            padded[:, : queries.shape[1]] = queries
-            queries = padded
-
-        fn = self._get_fn(queries.shape[0], k_eff)
-        vals, ids = fn(self.store.data, jnp.asarray(queries))
-        sims = np.asarray(jax.device_get(vals), dtype=np.float32)
-        indices = np.asarray(jax.device_get(ids), dtype=np.int64)
-        distances = 1.0 - np.clip(sims, -1.0, 1.0)
-        return indices, distances
+        return self._collect(self._dispatch(queries, self._resolve_k(k)))
 
     def search_stream(self, batches, k: Optional[int] = None):
         """Pipelined streaming search: yields ``(indices, distances)`` per
@@ -104,37 +113,15 @@ class SearchEngine:
         Batches sharing one shape reuse a single compiled program; a new
         shape compiles once.
         """
-        import jax.numpy as jnp
-
-        k = self.config.top_k if k is None else k
-        if k <= 0:
-            raise ValueError(f"top_k must be positive, got {k}")
-        k_eff = min(k, self.store.num_rows)
-        padded_dim = self.store.data.shape[1]
-
-        def dispatch(q):
-            q = self._prepare_queries(q)
-            if padded_dim != q.shape[1]:
-                padded = np.zeros((q.shape[0], padded_dim), dtype=np.float32)
-                padded[:, : q.shape[1]] = q
-                q = padded
-            fn = self._get_fn(q.shape[0], k_eff)
-            return fn(self.store.data, jnp.asarray(q))
-
-        def collect(out):
-            vals, ids = out
-            sims = np.asarray(jax.device_get(vals), dtype=np.float32)
-            indices = np.asarray(jax.device_get(ids), dtype=np.int64)
-            return indices, 1.0 - np.clip(sims, -1.0, 1.0)
-
+        k_eff = self._resolve_k(k)
         pending = None
         for q in batches:
-            current = dispatch(q)
+            current = self._dispatch(q, k_eff)
             if pending is not None:
-                yield collect(pending)
+                yield self._collect(pending)
             pending = current
         if pending is not None:
-            yield collect(pending)
+            yield self._collect(pending)
 
     def search_single(
         self, query: np.ndarray, k: Optional[int] = None

@@ -234,7 +234,11 @@ def global_topk(
         # block=64 fails to compile); the XLA path handles any width.
         use_pallas = False
     rows_valid, _d = shard.shape
-    pad_r = (-rows_valid) % block
+    # The Pallas kernel tiles rows in multiples of 8*block (the transposed
+    # block-max output needs an 8-aligned sublane dim), so pad further for
+    # it — padded rows are masked to PAD_SIM either way.
+    align = 8 * block if use_pallas else block
+    pad_r = (-rows_valid) % align
     if pad_r:  # tiny shard: round rows up to a whole block
         shard = jnp.pad(shard, ((0, pad_r), (0, 0)))
     rows_local = rows_valid + pad_r

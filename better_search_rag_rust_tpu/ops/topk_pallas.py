@@ -42,24 +42,30 @@ BLOCK = 128
 PAD_SIM = -3.0
 
 
-def _pick_row_tile(rows: int, dim: int, q_tile: int, block: int) -> int:
+def _pick_row_tile(
+    rows: int, dim: int, q_tile: int, block: int, itemsize: int
+) -> int:
     """Largest row tile dividing ``rows`` that keeps the working set (store
     tile + sims tile + query tile) under ~8 MB. The tile holds a whole
     multiple of 8 blocks so the transposed block-max output block keeps an
-    8-aligned sublane dim."""
+    8-aligned sublane dim. ``itemsize`` = operand dtype bytes."""
     step = 8 * block
     for rt in (4 * step, 2 * step, step):
         if rows % rt:
             continue
-        vmem = rt * dim * 2 + q_tile * rt * 4 + q_tile * dim * 2
+        vmem = rt * dim * itemsize + q_tile * rt * 4 + q_tile * dim * itemsize
         if vmem <= 8 * 1024 * 1024:
             return rt
     # Single-tile fallback (small shards): a block equal to the full array
     # dim is always layout-legal, whatever its alignment.
-    if rows * dim * 2 + q_tile * rows * 4 + q_tile * dim * 2 <= 8 * 1024 * 1024:
+    if (
+        rows * dim * itemsize + q_tile * rows * 4 + q_tile * dim * itemsize
+        <= 8 * 1024 * 1024
+    ):
         return rows
     raise ValueError(
-        f"no row tile divides rows={rows} (dim={dim}, block={block})"
+        f"no row tile divides rows={rows} "
+        f"(dim={dim}, block={block}; caller must pad rows to 8*block)"
     )
 
 
@@ -107,7 +113,7 @@ def matmul_blockmax(
         raise ValueError(f"dim mismatch {d} vs {d2}")
     if r % block:
         raise ValueError(f"rows {r} not a multiple of {block}")
-    rt = _pick_row_tile(r, d, t, block)
+    rt = _pick_row_tile(r, d, t, block, jnp.dtype(shard.dtype).itemsize)
     limit = jnp.asarray(valid_rows, dtype=jnp.int32).reshape((1,))
 
     grid_spec = pltpu.PrefetchScalarGridSpec(

@@ -151,49 +151,77 @@ class Pipeline:
         mine = slice_for_shard(shard, num_shards, files)
         stats.files_assigned = len(mine)
 
-        # Partial-progress resume: the shard's `.progress` marker records how
-        # many assigned files have been fully embedded+persisted. The
-        # reference restarts the whole embed phase on any crash (SURVEY.md §5
-        # "Checkpoint / resume" — no within-phase resume exists there).
+        # Partial-progress resume. The `.progress` marker is the COMMIT
+        # POINT: it records (files consumed, rows committed) and is written
+        # atomically, strictly after the store and manifest writes. A crash
+        # anywhere in the window leaves the marker describing the last fully
+        # consistent state; resume reconciles by truncating anything the
+        # crashed run persisted past it. (The reference restarts its whole
+        # embed phase on any crash — SURVEY.md §5 "Checkpoint / resume".)
+        import json
+        import os as _os
+
         from .store.vectorstore import local_store_path
 
         progress_path = local_store_path(cfg.store.dir, shard).with_suffix(
             ".progress"
         )
-        done_files = 0
-        if cfg.resume and progress_path.exists():
-            try:
-                done_files = min(int(progress_path.read_text().strip()), len(mine))
-            except ValueError:
-                done_files = 0
         paths_file = local_store_path(cfg.store.dir, shard).with_suffix(
             ".paths.json"
         )
-        row_paths: List[str] = []
-        if done_files > 0:
-            store = local_store(cfg.store.dir, shard, empty=False)
-            stats.embeddings = store.count
-            if paths_file.exists():
-                import json
+        done_files = 0
+        committed_rows = 0
+        if cfg.resume and progress_path.exists():
+            try:
+                marker = json.loads(progress_path.read_text())
+                done_files = min(int(marker["files"]), len(mine))
+                committed_rows = int(marker["rows"])
+            except (ValueError, KeyError, TypeError):
+                done_files = 0
 
-                row_paths = json.loads(paths_file.read_text())
+        row_paths: List[str] = []
+        store = None
+        if done_files > 0:
+            try:
+                store = local_store(cfg.store.dir, shard, empty=False)
+                if store.count < committed_rows or not paths_file.exists():
+                    raise ValueError("shard behind its commit marker")
+                store.truncate(committed_rows)  # drop post-marker crash rows
+                row_paths = json.loads(paths_file.read_text())[:committed_rows]
+                if len(row_paths) != committed_rows:
+                    raise ValueError("manifest shorter than committed rows")
+            except Exception as exc:
+                host_log(
+                    f"shard {shard}: resume state unusable ({exc}); "
+                    "restarting the shard from scratch"
+                )
+                store, row_paths, done_files = None, [], 0
+        if store is None:
+            store = local_store(cfg.store.dir, shard, empty=True)
+        else:
+            stats.embeddings = store.count
             host_log(
                 f"shard {shard}: resuming after {done_files} files "
                 f"({store.count} embeddings already persisted)"
             )
-        else:
-            store = local_store(cfg.store.dir, shard, empty=True)
+
+        def _atomic_write(path, text: str) -> None:
+            path.parent.mkdir(parents=True, exist_ok=True)
+            tmp = path.with_suffix(path.suffix + f".{_os.getpid()}.tmp")
+            tmp.write_text(text)
+            _os.replace(tmp, path)
 
         def checkpoint(files_done: int) -> None:
-            import json
-
-            store.persist()  # reference: tasks.rs:163-172
-            progress_path.parent.mkdir(parents=True, exist_ok=True)
-            progress_path.write_text(str(files_done))
+            store.persist()  # atomic, reference: tasks.rs:163-172
             # Row -> source-file manifest (one path per stored row, in row
             # order). The reference only ever reports bare row indices; this
             # is what lets search results resolve back to files.
-            paths_file.write_text(json.dumps(row_paths))
+            _atomic_write(paths_file, json.dumps(row_paths))
+            # Marker LAST: it commits the two writes above.
+            _atomic_write(
+                progress_path,
+                json.dumps({"files": files_done, "rows": store.count}),
+            )
 
         timer = self.bench.start("embedding_generation")
         bsz = cfg.corpus.files_per_batch
@@ -233,6 +261,11 @@ class Pipeline:
         row count."""
         proc, nprocs = _process_info()
         num_shards = nprocs if num_shards is None else num_shards
+        # Every ingest host must have persisted its shard BEFORE host 0
+        # reads them (≙ world.barrier() before the root merge, reference:
+        # src/main.rs:82) — without this, host 0 would merge half-written
+        # shards from slower hosts.
+        _host_barrier("pre-merge")
         count = 0
         if proc == 0:
             import json

@@ -104,8 +104,12 @@ class ParquetVectorStore:
         return pa.table({EMBEDDINGS_COLUMN: pa.array([], type=typ)})
 
     def _write_table(self, table: pa.Table) -> None:
+        # Atomic: a reader (or a crash-resume) can never observe a torn
+        # Parquet file.
         self.path.parent.mkdir(parents=True, exist_ok=True)
-        pq.write_table(table, self.path)
+        tmp = self.path.with_suffix(f".{os.getpid()}.tmp")
+        pq.write_table(table, tmp)
+        os.replace(tmp, self.path)
 
     # -- mutation ------------------------------------------------------------
 
@@ -140,6 +144,17 @@ class ParquetVectorStore:
         """Drop all in-memory rows (reference: polars.rs — ``reset``)."""
         self._chunks = []
         self._count = 0
+
+    def truncate(self, n: int) -> None:
+        """Keep only the first ``n`` rows (crash-resume reconciliation: drop
+        rows persisted past the last committed progress marker)."""
+        if n < 0:
+            raise ValueError(f"truncate to negative length {n}")
+        if n >= self._count:
+            return
+        mat = self.matrix()
+        self._chunks = [np.ascontiguousarray(mat[:n])] if n else []
+        self._count = n
 
     # -- access ---------------------------------------------------------------
 
@@ -319,6 +334,12 @@ def merge_vector_stores(
     merged = global_store(store_dir, empty=True)
     for shard in range(num_shards):
         path = local_store_path(store_dir, shard)
+        if not path.exists():
+            # Distinct from "present but empty": do NOT fabricate an empty
+            # shard file — a crashed ingest host must stay visible as
+            # missing, not become settled-as-empty on disk.
+            host_log(f"merge: shard {shard} MISSING ({path}), skipping")
+            continue
         try:
             shard_store = ParquetVectorStore(path, empty=False)
         except Exception as exc:  # unreadable shard: log and continue

@@ -44,8 +44,12 @@ def test_checkpoint_marker_written(corpus, tmp_path):
     p = Pipeline(cfg)
     stats = p.ingest_shard()
     assert stats.embeddings == 20
-    marker = local_store_path(cfg.store.dir, 0).with_suffix(".progress")
-    assert marker.read_text() == "20"
+    import json
+
+    marker = json.loads(
+        local_store_path(cfg.store.dir, 0).with_suffix(".progress").read_text()
+    )
+    assert marker == {"files": 20, "rows": 20}
 
 
 def test_resume_skips_done_files(corpus, tmp_path):
@@ -63,8 +67,12 @@ def test_resume_skips_done_files(corpus, tmp_path):
         (partial_root / f.name).write_text(f.read_text())
     p_partial = Pipeline(_cfg(partial_root, tmp_path, checkpoint_every_batches=1))
     p_partial.ingest_shard()
-    marker = local_store_path(cfg.store.dir, 0).with_suffix(".progress")
-    assert marker.read_text() == "12"
+    import json
+
+    marker = json.loads(
+        local_store_path(cfg.store.dir, 0).with_suffix(".progress").read_text()
+    )
+    assert marker == {"files": 12, "rows": 12}
 
     resumed = Pipeline(_cfg(corpus, tmp_path, resume=True)).ingest_shard()
     assert resumed.files_read == 8  # only the remaining files were embedded
@@ -109,3 +117,40 @@ def test_search_stream_empty_and_ragged(mesh8):
     out = list(engine.search_stream([mat[:5], mat[5:6]], k=3))  # ragged shapes
     assert out[0][0].shape == (5, 3) and out[1][0].shape == (1, 3)
     assert out[1][0][0, 0] == 5
+
+
+def test_resume_reconciles_crash_window(corpus, tmp_path):
+    """Rows persisted past the last committed marker (a crash between
+    store.persist() and the marker write) are truncated on resume — no
+    duplicate rows can survive."""
+    import json
+
+    import numpy as np
+
+    from better_search_rag_rust_tpu.store.vectorstore import local_store
+
+    cfg = _cfg(corpus, tmp_path, checkpoint_every_batches=1)
+    Pipeline(cfg).ingest_shard()
+
+    # Simulate the crash window: roll the marker back to 8 files / 8 rows
+    # while the store still holds all 20 rows.
+    marker_path = local_store_path(cfg.store.dir, 0).with_suffix(".progress")
+    marker_path.write_text(json.dumps({"files": 8, "rows": 8}))
+
+    resumed = Pipeline(_cfg(corpus, tmp_path, resume=True)).ingest_shard()
+    assert resumed.embeddings == 20  # no duplicates
+    store = local_store(cfg.store.dir, 0, empty=False)
+    assert store.count == 20
+    clean = Pipeline(_cfg(corpus, tmp_path / "clean")).ingest_shard()
+    ref = local_store(str(tmp_path / "clean" / "vstore"), 0, empty=False)
+    np.testing.assert_allclose(store.matrix(), ref.matrix(), atol=1e-6)
+
+
+def test_resume_with_corrupt_marker_restarts(corpus, tmp_path):
+    cfg = _cfg(corpus, tmp_path)
+    Pipeline(cfg).ingest_shard()
+    marker_path = local_store_path(cfg.store.dir, 0).with_suffix(".progress")
+    marker_path.write_text("garbage not json")
+    resumed = Pipeline(_cfg(corpus, tmp_path, resume=True)).ingest_shard()
+    assert resumed.embeddings == 20
+    assert resumed.files_read == 20  # full restart

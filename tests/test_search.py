@@ -238,3 +238,17 @@ def test_duplicate_ties_still_exact_with_verified_selection(mesh8):
     o_ids, o_dists = engine.oracle_topk(mat[:3], k=40)
     np.testing.assert_array_equal(ids, o_ids)
     np.testing.assert_allclose(dists, o_dists, atol=1e-7)
+
+
+def test_pallas_kernel_odd_chunk_rows(mesh8):
+    """per-device rows that are a multiple of the chunk but NOT of 8*block
+    (e.g. odd --chunk-rows) must still run on the pallas path (the kernel
+    pads rows to 8*block internally)."""
+    mat = mock_embeddings(1500, dim=32, seed=61)
+    store = DeviceStore.from_host(mat, mesh8, dtype="float32", chunk_rows=136)
+    assert store.per_device_rows % (8 * 128) != 0
+    engine = SearchEngine(store, SearchConfig(kernel="pallas"))
+    queries = mock_embeddings(3, dim=32, seed=62)
+    ids, dists = engine.search(queries, k=7)
+    o_ids, o_dists = engine.oracle_topk(queries, k=7)
+    np.testing.assert_array_equal(ids, o_ids)

@@ -132,3 +132,38 @@ def test_persisted_file_readable_by_pyarrow(tmp_path):
     table = pq.read_table(s.path)
     assert table.num_rows == 5
     assert table.column_names == ["embeddings"]
+
+
+def test_merge_does_not_fabricate_missing_shards(tmp_path):
+    """A missing shard is logged and skipped without creating an empty
+    parquet file on disk (a crashed ingest host must stay visibly missing)."""
+    from better_search_rag_rust_tpu.store.vectorstore import (
+        ParquetVectorStore,
+        local_store_path,
+        merge_vector_stores,
+    )
+    from better_search_rag_rust_tpu.utils.testing import mock_embeddings
+
+    st = ParquetVectorStore(local_store_path(tmp_path, 0), empty=True)
+    st.append_many(mock_embeddings(4, 16, seed=1))
+    st.persist()
+    # shard 1 missing entirely
+    merged = merge_vector_stores(2, tmp_path)
+    assert merged.count == 4
+    assert not local_store_path(tmp_path, 1).exists()
+
+
+def test_truncate(tmp_path):
+    from better_search_rag_rust_tpu.store.vectorstore import ParquetVectorStore
+    from better_search_rag_rust_tpu.utils.testing import mock_embeddings
+
+    st = ParquetVectorStore(tmp_path / "t.parquet", empty=True)
+    mat = mock_embeddings(10, 8, seed=2)
+    st.append_many(mat)
+    st.truncate(6)
+    assert st.count == 6
+    np.testing.assert_array_equal(st.matrix(), mat[:6])
+    st.truncate(100)  # no-op beyond count
+    assert st.count == 6
+    st.truncate(0)
+    assert st.count == 0
