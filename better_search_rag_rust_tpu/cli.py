@@ -52,6 +52,10 @@ def _add_common(p: argparse.ArgumentParser) -> None:
     enc.add_argument("--encode-batch-size", type=int, default=32)
     enc.add_argument("--matryoshka-dim", type=int, default=None,
                      help="truncate embeddings to this dim and re-normalize")
+    enc.add_argument("--long-doc", default="truncate",
+                     choices=["truncate", "mean"],
+                     help="long files: drop past max-tokens (reference "
+                          "semantics) or window + mean-pool everything")
 
     st = p.add_argument_group("store")
     st.add_argument("--store-dir", default=".volumes/vstore",
@@ -93,6 +97,7 @@ def _config_from_args(args, skip_process: bool) -> PipelineConfig:
             max_tokens=args.max_tokens,
             batch_size=args.encode_batch_size,
             matryoshka_dim=args.matryoshka_dim,
+            long_doc=args.long_doc,
         ),
         store=StoreConfig(dir=args.store_dir),
         mesh=MeshConfig(),
@@ -133,9 +138,12 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
         ("run", "full pipeline: ingest + merge + search + report"),
         ("ingest", "embed the corpus and persist the global store"),
         ("search", "serve search from the persisted store (SKIP_PROCESS=true)"),
+        ("evaluate", "batch self-retrieval quality report on a built store"),
     ]:
         sp = sub.add_parser(name, help=desc)
         _add_common(sp)
+        if name == "evaluate":
+            sp.add_argument("--num-queries", type=int, default=64)
 
     bp = sub.add_parser("bench", help="performance benchmark suite")
     bp.add_argument("--suite", default="search_1m",
@@ -169,8 +177,15 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
 
         from .pipeline import Pipeline
 
-        cfg = _config_from_args(args, skip_process=(args.command == "search"))
+        cfg = _config_from_args(
+            args, skip_process=(args.command in ("search", "evaluate"))
+        )
         pipeline = Pipeline(cfg)
+        if args.command == "evaluate":
+            report = pipeline.evaluate(args.num_queries, args.top_k)
+            print(json.dumps(report))
+            print(pipeline.bench.generate_report())
+            return 0
         if args.command == "ingest":
             stats = pipeline.ingest_shard()
             pipeline.merge()

@@ -72,6 +72,11 @@ class EncoderConfig:
     #: Attention implementation: "auto" (Pallas flash attention on TPU,
     #: explicit XLA attention elsewhere), "flash", or "xla".
     attention_impl: str = "auto"
+    #: Long-document handling: "truncate" keeps the reference's semantics
+    #: (text beyond max_tokens is silently dropped, src/llm/hf.rs:62-67);
+    #: "mean" splits the full token stream into fixed-shape windows, encodes
+    #: every window and mean-pools per document (then re-normalizes).
+    long_doc: str = "truncate"
     #: Batch size for the jitted forward (fixed shape for XLA cache hits).
     batch_size: int = 32
     #: "nomic" = real Flax model (random-init unless checkpoint_dir is set),

@@ -45,20 +45,18 @@ class EncoderService:
         encoder: TokenEncoder,
         dim: int,
         batch_size: int = 32,
+        long_doc: str = "truncate",
     ):
         self.tokenizer = tokenizer
         self.encoder = encoder
         self.dim = dim
         self.batch_size = batch_size
+        self.long_doc = long_doc
 
-    def get_embeddings(self, texts: Sequence[str]) -> np.ndarray:
-        """``texts -> [len(texts), dim]`` float32
-        (reference: src/llm/hf.rs:50-124)."""
-        n = len(texts)
-        if n == 0:
-            return np.zeros((0, self.dim), dtype=np.float32)
-        ids, mask = self.tokenizer.encode_batch(texts)  # raises on empty text
-
+    def _encode_rows(self, ids: np.ndarray, mask: np.ndarray) -> np.ndarray:
+        """Run ``[N, S]`` token rows through the device forward in fixed
+        ``batch_size`` slices (zero-mask padding rows for the ragged tail)."""
+        n = ids.shape[0]
         bs = self.batch_size
         padded_n = -(-n // bs) * bs
         if padded_n != n:
@@ -70,13 +68,41 @@ class EncoderService:
             mask = np.concatenate(
                 [mask, np.zeros((pad_rows, mask.shape[1]), dtype=mask.dtype)]
             )
-
         out = np.empty((padded_n, self.dim), dtype=np.float32)
         for start in range(0, padded_n, bs):
             out[start : start + bs] = self.encoder.encode_tokens(
                 ids[start : start + bs], mask[start : start + bs]
             )
         return out[:n]
+
+    def get_embeddings(self, texts: Sequence[str]) -> np.ndarray:
+        """``texts -> [len(texts), dim]`` float32
+        (reference: src/llm/hf.rs:50-124).
+
+        ``long_doc="truncate"``: text beyond ``max_tokens`` is dropped (the
+        reference's semantics). ``long_doc="mean"``: the full token stream is
+        windowed, every window encoded, windows mean-pooled per document and
+        re-normalized — long files contribute all of their content instead
+        of their first 512 tokens.
+        """
+        n = len(texts)
+        if n == 0:
+            return np.zeros((0, self.dim), dtype=np.float32)
+
+        if self.long_doc == "mean" and hasattr(
+            self.tokenizer, "encode_batch_windows"
+        ):
+            ids, mask, groups = self.tokenizer.encode_batch_windows(texts)
+            window_emb = self._encode_rows(ids, mask)
+            out = np.zeros((n, self.dim), dtype=np.float32)
+            np.add.at(out, groups, window_emb)
+            counts = np.bincount(groups, minlength=n).reshape(-1, 1)
+            out /= np.maximum(counts, 1)
+            norms = np.linalg.norm(out, axis=1, keepdims=True)
+            return out / np.where(norms == 0.0, 1.0, norms)
+
+        ids, mask = self.tokenizer.encode_batch(texts)  # raises on empty text
+        return self._encode_rows(ids, mask)
 
 
 def create_encoder(cfg: Optional[EncoderConfig] = None) -> EncoderService:
@@ -107,7 +133,8 @@ def create_encoder(cfg: Optional[EncoderConfig] = None) -> EncoderService:
             dtype=cfg.dtype,
         )
         return EncoderService(
-            enc.tokenizer, enc, enc.dim, batch_size=cfg.batch_size
+            enc.tokenizer, enc, enc.dim, batch_size=cfg.batch_size,
+            long_doc=cfg.long_doc,
         )
 
     if backend == "nomic":
@@ -127,6 +154,9 @@ def create_encoder(cfg: Optional[EncoderConfig] = None) -> EncoderService:
         tokenizer = load_tokenizer(
             cfg.checkpoint_dir, cfg.max_tokens, cfg.vocab_size
         )
-        return EncoderService(tokenizer, enc, enc.dim, batch_size=cfg.batch_size)
+        return EncoderService(
+            tokenizer, enc, enc.dim, batch_size=cfg.batch_size,
+            long_doc=cfg.long_doc,
+        )
 
     raise ValueError(f"unknown encoder backend {backend!r}")

@@ -45,6 +45,8 @@ class FixedLengthTokenizer:
     def __init__(self, tokenizer, max_tokens: int = 512):
         self.max_tokens = max_tokens
         self._tok = tokenizer
+        # stride=0 windows + overflow encodings power the long-document
+        # multi-window mode (see encode_batch_windows).
         self._tok.enable_truncation(max_length=max_tokens)
         self._tok.enable_padding(
             length=max_tokens, pad_id=PAD_ID, pad_token="[PAD]"
@@ -69,6 +71,29 @@ class FixedLengthTokenizer:
         ids = np.asarray([e.ids for e in encs], dtype=np.int32)
         mask = np.asarray([e.attention_mask for e in encs], dtype=np.int32)
         return ids, mask
+
+    def encode_batch_windows(
+        self, texts: Sequence[str]
+    ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """Long-document windowing: every text becomes >= 1 fixed-shape
+        window covering ALL its tokens (the head window plus the tokenizer's
+        overflow encodings). Returns ``(ids [W, S], mask [W, S],
+        group [W])`` where ``group[w]`` is the source text index."""
+        if len(texts) == 0:
+            z = np.zeros((0, self.max_tokens), dtype=np.int32)
+            return z, z.copy(), np.zeros((0,), dtype=np.int64)
+        _check_batch(texts)
+        ids_rows, mask_rows, groups = [], [], []
+        for i, enc in enumerate(self._tok.encode_batch(list(texts))):
+            for window in [enc, *enc.overflowing]:
+                ids_rows.append(window.ids)
+                mask_rows.append(window.attention_mask)
+                groups.append(i)
+        return (
+            np.asarray(ids_rows, dtype=np.int32),
+            np.asarray(mask_rows, dtype=np.int32),
+            np.asarray(groups, dtype=np.int64),
+        )
 
 
 class HashingTokenizer:
@@ -111,6 +136,38 @@ class HashingTokenizer:
             ids[row, : len(seq)] = seq
             mask[row, : len(seq)] = 1
         return ids, mask
+
+    def encode_batch_windows(
+        self, texts: Sequence[str]
+    ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """Long-document windowing (see
+        :meth:`FixedLengthTokenizer.encode_batch_windows`): word stream split
+        into consecutive ``max_tokens - 2`` windows, CLS/SEP re-added."""
+        if len(texts) == 0:
+            z = np.zeros((0, self.max_tokens), dtype=np.int32)
+            return z, z.copy(), np.zeros((0,), dtype=np.int64)
+        _check_batch(texts)
+        s = self.max_tokens
+        body = s - 2
+        ids_rows, mask_rows, groups = [], [], []
+        for i, text in enumerate(texts):
+            words = _WORD_RE.findall(text.lower())
+            for start in range(0, max(len(words), 1), body):
+                window = words[start : start + body]
+                row = np.full((s,), PAD_ID, dtype=np.int32)
+                m = np.zeros((s,), dtype=np.int32)
+                seq = [self.CLS_ID, *(self._token_id(w) for w in window),
+                       self.SEP_ID]
+                row[: len(seq)] = seq
+                m[: len(seq)] = 1
+                ids_rows.append(row)
+                mask_rows.append(m)
+                groups.append(i)
+        return (
+            np.stack(ids_rows),
+            np.stack(mask_rows),
+            np.asarray(groups, dtype=np.int64),
+        )
 
 
 def load_tokenizer(

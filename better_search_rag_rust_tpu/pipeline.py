@@ -28,7 +28,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass, field
 from pathlib import Path
-from typing import List, Optional, Sequence, Tuple
+from typing import Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
 
@@ -358,6 +358,47 @@ class Pipeline:
                 ranked.append((path, int(idx), float(dist)))
             out.append(ranked)
         return out
+
+    def evaluate(
+        self, num_queries: int = 64, k: Optional[int] = None
+    ) -> Dict[str, float]:
+        """Batch retrieval-quality report over the stored corpus.
+
+        Uses ``num_queries`` stored rows (evenly spaced) as self-retrieval
+        queries and reports batch MRR / recall@k (each row must retrieve
+        itself) plus top-k overlap between the engine and the serial oracle
+        (must be 1.0 — the reference's parallel-vs-sequential exactness
+        check, src/metrics.rs:98-141, which it only ever ran in unit tests).
+        """
+        from .metrics.quality import (
+            mean_reciprocal_rank,
+            recall_at_k,
+            top_k_overlap,
+        )
+
+        k = self.config.search.top_k if k is None else k
+        engine = self.engine()
+        n = engine.store.num_rows
+        num_queries = min(num_queries, n)
+        q_rows = np.linspace(0, n - 1, num_queries, dtype=np.int64)
+        queries = engine.effective_store()[q_rows]
+
+        timer = self.bench.start("similarity_search")
+        ids, _dists = engine.search(queries, k)
+        self.bench.record(timer.stop(items_processed=n * num_queries))
+
+        timer = self.bench.start("metrics_calculation")
+        o_ids, _ = engine.oracle_topk(queries, k)
+        results = ids.tolist()
+        report = {
+            "num_queries": float(num_queries),
+            "k": float(min(k, n)),
+            "mrr": mean_reciprocal_rank(q_rows.tolist(), results),
+            "recall_at_k": recall_at_k(q_rows.tolist(), results, k),
+            "oracle_overlap": top_k_overlap(o_ids.tolist(), results, k),
+        }
+        self.bench.record(timer.stop())
+        return report
 
     # -- full driver --------------------------------------------------------------
 

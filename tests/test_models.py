@@ -306,3 +306,43 @@ def test_cli_profile_dir(tmp_path, capsys):
     ])
     assert rc == 0
     assert trace_dir.exists()
+
+
+def test_long_doc_mean_windows():
+    """long_doc="mean": a document longer than max_tokens contributes ALL of
+    its content (the reference silently drops everything past the cap)."""
+    svc_trunc = create_encoder(
+        EncoderConfig(backend="hash", dim=48, vocab_size=2048, max_tokens=16,
+                      batch_size=4, long_doc="truncate")
+    )
+    svc_mean = create_encoder(
+        EncoderConfig(backend="hash", dim=48, vocab_size=2048, max_tokens=16,
+                      batch_size=4, long_doc="mean")
+    )
+    # exactly one full window (max_tokens - 2 = 14 words)
+    head = "alpha beta gamma delta eta theta iota kappa lam mu nu xi omi pi "
+    tail = "omega psi chi phi " * 10              # lives past the cap
+    long_doc = head + tail
+
+    t = svc_trunc.get_embeddings([long_doc, head])
+    m = svc_mean.get_embeddings([long_doc, head])
+    # truncate mode cannot see the tail: long doc == its head
+    np.testing.assert_allclose(t[0], t[1], atol=1e-6)
+    # mean mode sees the tail: long doc != its head
+    assert not np.allclose(m[0], m[1], atol=1e-3)
+    # short docs are unaffected by the mode
+    np.testing.assert_allclose(t[1], m[1], atol=1e-5)
+    np.testing.assert_allclose(np.linalg.norm(m, axis=1), 1.0, rtol=1e-4)
+
+
+def test_window_tokenizer_group_ids():
+    tok = HashingTokenizer(vocab_size=512, max_tokens=8)
+    ids, mask, groups = tok.encode_batch_windows(
+        ["one two three four five six seven eight nine", "short"]
+    )
+    # 9 words / 6-word windows -> 2 windows + 1 window
+    assert ids.shape == (3, 8)
+    np.testing.assert_array_equal(groups, [0, 0, 1])
+    assert (mask.sum(axis=1) >= 3).all()
+    empty = tok.encode_batch_windows([])
+    assert empty[0].shape == (0, 8)

@@ -216,3 +216,24 @@ def test_cli_text_query(corpus_dir, tmp_path, capsys):
     assert rc == 0
     out = capsys.readouterr().out
     assert "Top-" in out and ".java" in out
+
+
+def test_evaluate_batch_metrics(corpus_dir, tmp_path, capsys):
+    cfg = _config(corpus_dir, tmp_path)
+    p = Pipeline(cfg)
+    p.run()
+    report = p.evaluate(num_queries=8, k=5)
+    assert report["mrr"] == 1.0
+    assert report["recall_at_k"] == 1.0
+    assert report["oracle_overlap"] == 1.0
+    assert report["num_queries"] == 8.0
+
+    from better_search_rag_rust_tpu.cli import main
+
+    rc = main([
+        "evaluate", "--store-dir", cfg.store.dir, "--encoder-backend", "hash",
+        "--dim", "96", "--top-k", "5", "--num-queries", "6",
+    ])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert '"oracle_overlap": 1.0' in out
