@@ -60,6 +60,9 @@ def _add_common(p: argparse.ArgumentParser) -> None:
     st = p.add_argument_group("store")
     st.add_argument("--store-dir", default=".volumes/vstore",
                     help="vector store directory (src/main.rs:41)")
+    st.add_argument("--snapshot", action="store_true",
+                    help="maintain an Orbax device-store snapshot for fast "
+                         "serve startup")
 
     srch = p.add_argument_group("search")
     srch.add_argument("--top-k", type=int, default=50,
@@ -99,7 +102,7 @@ def _config_from_args(args, skip_process: bool) -> PipelineConfig:
             matryoshka_dim=args.matryoshka_dim,
             long_doc=args.long_doc,
         ),
-        store=StoreConfig(dir=args.store_dir),
+        store=StoreConfig(dir=args.store_dir, use_snapshot=args.snapshot),
         mesh=MeshConfig(),
         search=SearchConfig(
             top_k=args.top_k,

@@ -93,6 +93,10 @@ class StoreConfig:
     dir: str = ".volumes/vstore"
     #: On-disk dtype. float32 matches the reference's List<f32> column.
     dtype: str = "float32"
+    #: Maintain an Orbax snapshot of the built DeviceStore next to the
+    #: Parquet store and serve from it when fresh (skips Parquet
+    #: parse+normalize+pad at startup; see store/device_cache.py).
+    use_snapshot: bool = False
 
 
 @dataclass(frozen=True)

@@ -302,22 +302,48 @@ class Pipeline:
     def load_device_store(self) -> DeviceStore:
         """global.parquet -> normalized block-sharded HBM store. Unlike the
         reference (every rank parses the whole file, metrics.rs:23-33), each
-        host parses only the row blocks its devices own."""
+        host parses only the row blocks its devices own. With
+        ``store.use_snapshot`` a fresh Orbax snapshot of the built device
+        store restores straight into HBM and is (re)written after a Parquet
+        load."""
         from .store.vectorstore import global_store_path, parquet_row_count
 
         cfg = self.config
         path = global_store_path(cfg.store.dir)
+        snap_dir = Path(cfg.store.dir) / "device_cache"
+        if cfg.store.use_snapshot:
+            from .store.device_cache import load_device_store, snapshot_exists
+
+            meta = snap_dir / "device_store.json"
+            if (
+                snapshot_exists(snap_dir)
+                and path.exists()
+                and meta.stat().st_mtime >= path.stat().st_mtime
+            ):
+                try:
+                    store = load_device_store(snap_dir, self.mesh)
+                    host_log(f"device store restored from snapshot {snap_dir}")
+                    return store
+                except Exception as exc:
+                    host_log(f"snapshot unusable ({exc}); falling back to Parquet")
+
         if parquet_row_count(path) == 0:
             raise RuntimeError(
                 f"global store at {cfg.store.dir} is empty — "
                 "run ingest first or unset skip_process"
             )
-        return DeviceStore.from_parquet_sharded(
+        store = DeviceStore.from_parquet_sharded(
             path,
             self.mesh,
             dtype=cfg.search.store_dtype,
             chunk_rows=cfg.search.chunk_rows,
         )
+        if cfg.store.use_snapshot:
+            from .store.device_cache import save_device_store
+
+            save_device_store(snap_dir, store)
+            host_log(f"device store snapshot written to {snap_dir}")
+        return store
 
     def engine(self, store: Optional[DeviceStore] = None) -> SearchEngine:
         if self._engine is None:

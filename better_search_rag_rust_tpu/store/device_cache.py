@@ -1,0 +1,87 @@
+"""Device-store snapshots: Orbax-backed fast serve-startup path.
+
+Parquet (:mod:`.vectorstore`) is the canonical interchange format (parity
+with the reference's store, src/vectorstore/polars.rs); this module adds a
+TPU-native cache next to it: the *already normalized, padded, sharded*
+``jax.Array`` checkpointed with Orbax, so a serving host restores straight
+into HBM without re-parsing/normalizing/padding Parquet (measured ~13 s for
+10M x 256 rows). Multi-host safe — each host writes/reads only its own
+shards, the same discipline as :meth:`DeviceStore.from_parquet_sharded`.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from pathlib import Path
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..models.checkpoint import _checkpointer
+from .device_store import DeviceStore
+
+_META = "device_store.json"
+_ARRAY = "data"
+
+
+def save_device_store(cache_dir: str | os.PathLike, store: DeviceStore) -> None:
+    """Snapshot a built :class:`DeviceStore` (array + layout metadata)."""
+    cache_dir = Path(cache_dir).absolute()
+    cache_dir.mkdir(parents=True, exist_ok=True)
+    _checkpointer().save(cache_dir / _ARRAY, {"data": store.data}, force=True)
+    meta = {
+        "num_rows": store.num_rows,
+        "dim": store.dim,
+        "per_device_rows": store.per_device_rows,
+        "chunk": store.chunk,
+        "matryoshka_from": store.matryoshka_from,
+        "dtype": str(store.data.dtype),
+        "shape": list(store.data.shape),
+        "data_shards": int(store.mesh.shape["data"]),
+    }
+    tmp = cache_dir / f"{_META}.{os.getpid()}.tmp"
+    tmp.write_text(json.dumps(meta))
+    os.replace(tmp, cache_dir / _META)
+
+
+def load_device_store(
+    cache_dir: str | os.PathLike, mesh: Mesh, data_axis: str = "data"
+) -> DeviceStore:
+    """Restore a snapshot as a block-sharded array over ``mesh``.
+
+    The mesh may differ from the one that wrote the snapshot as long as its
+    ``data``-axis size divides the padded rows evenly (Orbax reshards on
+    restore) — the serve-on-M-hosts half of the store lifecycle.
+    """
+    cache_dir = Path(cache_dir).absolute()
+    meta = json.loads((cache_dir / _META).read_text())
+    shape = tuple(meta["shape"])
+    n_shards = mesh.shape[data_axis]
+    if shape[0] % n_shards:
+        raise ValueError(
+            f"snapshot rows {shape[0]} not divisible by mesh "
+            f"data axis {n_shards}"
+        )
+    sharding = NamedSharding(mesh, P(data_axis, None))
+    target = {
+        "data": jax.ShapeDtypeStruct(
+            shape, jnp.dtype(meta["dtype"]), sharding=sharding
+        )
+    }
+    restored = _checkpointer().restore(cache_dir / _ARRAY, target)
+    return DeviceStore(
+        data=restored["data"],
+        mesh=mesh,
+        num_rows=meta["num_rows"],
+        dim=meta["dim"],
+        per_device_rows=shape[0] // n_shards,
+        chunk=meta["chunk"],
+        matryoshka_from=meta["matryoshka_from"],
+    )
+
+
+def snapshot_exists(cache_dir: str | os.PathLike) -> bool:
+    return (Path(cache_dir) / _META).exists()

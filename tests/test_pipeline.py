@@ -237,3 +237,17 @@ def test_evaluate_batch_metrics(corpus_dir, tmp_path, capsys):
     assert rc == 0
     out = capsys.readouterr().out
     assert '"oracle_overlap": 1.0' in out
+
+
+def test_snapshot_serve_path(corpus_dir, tmp_path):
+    """use_snapshot: first serve builds + writes the snapshot, second serve
+    restores from it; results identical."""
+    import dataclasses
+
+    cfg = _config(corpus_dir, tmp_path)
+    cfg = cfg.replace(store=dataclasses.replace(cfg.store, use_snapshot=True))
+    r1 = Pipeline(cfg).run()
+    assert (tmp_path / "vstore" / "device_cache" / "device_store.json").exists()
+    r2 = Pipeline(cfg.replace(skip_process=True)).run()
+    assert [i for i, _ in r2.top_k] == [i for i, _ in r1.top_k]
+    assert r2.mrr == 1.0

@@ -106,3 +106,48 @@ def test_profiling_utils_smoke(tmp_path):
             _ = jnp.ones((8, 8)) @ jnp.ones((8, 8))
     assert (tmp_path / "trace").exists()
     assert isinstance(memory_stats(), dict)
+
+
+def test_device_store_snapshot_roundtrip(tmp_path, mesh8):
+    from better_search_rag_rust_tpu.store.device_cache import (
+        load_device_store,
+        save_device_store,
+        snapshot_exists,
+    )
+
+    mat = mock_embeddings(300, dim=40, seed=71)
+    store = DeviceStore.from_host(mat, mesh8, dtype="bfloat16", chunk_rows=128)
+    cache = tmp_path / "snap"
+    assert not snapshot_exists(cache)
+    save_device_store(cache, store)
+    assert snapshot_exists(cache)
+
+    restored = load_device_store(cache, mesh8)
+    assert restored.num_rows == 300 and restored.dim == 40
+    assert restored.chunk == store.chunk
+    np.testing.assert_array_equal(
+        store.effective_matrix(), restored.effective_matrix()
+    )
+    # search parity on the restored store
+    q = mock_embeddings(3, dim=40, seed=72)
+    ia, _ = SearchEngine(store, SearchConfig(kernel="global")).search(q, 7)
+    ib, _ = SearchEngine(restored, SearchConfig(kernel="global")).search(q, 7)
+    np.testing.assert_array_equal(ia, ib)
+
+
+def test_device_store_snapshot_reshard(tmp_path, mesh8, mesh1):
+    """Snapshot written on an 8-way mesh restores onto a 1-device mesh
+    (serve-on-M-hosts lifecycle)."""
+    from better_search_rag_rust_tpu.store.device_cache import (
+        load_device_store,
+        save_device_store,
+    )
+
+    mat = mock_embeddings(128, dim=24, seed=73)
+    store = DeviceStore.from_host(mat, mesh8, dtype="float32", chunk_rows=128)
+    cache = tmp_path / "snap"
+    save_device_store(cache, store)
+    restored = load_device_store(cache, mesh1)
+    np.testing.assert_allclose(
+        store.effective_matrix(), restored.effective_matrix(), atol=1e-6
+    )
