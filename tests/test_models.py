@@ -346,3 +346,24 @@ def test_window_tokenizer_group_ids():
     assert (mask.sum(axis=1) >= 3).all()
     empty = tok.encode_batch_windows([])
     assert empty[0].shape == (0, 8)
+
+
+def test_xla_bf16_attention_parity():
+    import dataclasses
+
+    cfg = NomicBertConfig(
+        vocab_size=256, hidden_size=64, num_layers=2, num_heads=4,
+        mlp_dim=128, max_tokens=64, attention_impl="xla",
+    )
+    enc = NomicEncoder(cfg, seed=11)
+    enc_b = NomicEncoder(
+        dataclasses.replace(cfg, attention_impl="xla_bf16"), params=enc.params
+    )
+    rng = np.random.default_rng(12)
+    ids = rng.integers(1, 256, size=(3, 64)).astype(np.int32)
+    mask = np.ones((3, 64), np.int32)
+    mask[1, 40:] = 0
+    a = enc.encode_tokens(ids, mask)
+    b = enc_b.encode_tokens(ids, mask)
+    cos = np.sum(a * b, axis=1)
+    assert cos.min() > 0.999, cos
