@@ -142,6 +142,7 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
         ("ingest", "embed the corpus and persist the global store"),
         ("search", "serve search from the persisted store (SKIP_PROCESS=true)"),
         ("evaluate", "batch self-retrieval quality report on a built store"),
+        ("update", "incrementally embed corpus files not yet in the store"),
     ]:
         sp = sub.add_parser(name, help=desc)
         _add_common(sp)
@@ -181,13 +182,22 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
         from .pipeline import Pipeline
 
         cfg = _config_from_args(
-            args, skip_process=(args.command in ("search", "evaluate"))
+            args,
+            skip_process=(args.command in ("search", "evaluate", "update")),
         )
         pipeline = Pipeline(cfg)
         if args.command == "evaluate":
             report = pipeline.evaluate(args.num_queries, args.top_k)
             print(json.dumps(report))
             print(pipeline.bench.generate_report())
+            return 0
+        if args.command == "update":
+            stats = pipeline.update()
+            print(
+                f"appended {stats.embeddings} embeddings "
+                f"({stats.files_assigned} new files, "
+                f"{stats.files_skipped} skipped)"
+            )
             return 0
         if args.command == "ingest":
             stats = pipeline.ingest_shard()

@@ -385,6 +385,77 @@ class Pipeline:
             out.append(ranked)
         return out
 
+    def update(self) -> IngestStats:
+        """Incremental ingest: embed only corpus files NOT yet in the global
+        store's row->file manifest and append them (store + manifest).
+
+        The reference has no incremental path at all — any corpus change
+        means a full re-embed (its global store is rebuilt from scratch on
+        every non-SKIP_PROCESS run, src/main.rs:85-105). Single-host
+        operation (runs on host 0; others no-op)."""
+        import json
+
+        from .store.vectorstore import (
+            global_store,
+            load_manifest,
+            manifest_path,
+        )
+
+        cfg = self.config
+        proc, _ = _process_info()
+        stats = IngestStats()
+        if proc != 0:
+            _host_barrier("update")
+            return stats
+
+        files = find_files_by_extensions(cfg.corpus.root, cfg.corpus.extensions)
+        stats.files_found = len(files)
+        manifest = load_manifest(cfg.store.dir) or []
+        known = set(manifest)
+        new_files = [f for f in files if str(f) not in known]
+        stats.files_assigned = len(new_files)
+        if not new_files:
+            host_log("update: store already covers the corpus")
+            _host_barrier("update")
+            return stats
+
+        gstore = global_store(cfg.store.dir, empty=False)
+        if gstore.count != len(manifest):
+            raise RuntimeError(
+                f"manifest ({len(manifest)} paths) out of sync with store "
+                f"({gstore.count} rows) — rebuild with a full ingest"
+            )
+
+        timer = self.bench.start("embedding_generation")
+        bsz = cfg.corpus.files_per_batch
+        for start in range(0, len(new_files), bsz):
+            batch_paths = new_files[start : start + bsz]
+            contents = read_files(batch_paths, cfg.corpus.max_file_bytes)
+            kept = [(p, c) for p, c in contents if c]
+            stats.files_skipped += len(batch_paths) - len(kept)
+            stats.files_read += len(kept)
+            if not kept:
+                continue
+            try:
+                emb = self.encoder.get_embeddings([c for _p, c in kept])
+            except Exception as exc:  # log-and-continue, tasks.rs:118-124
+                host_log(f"update batch {start // bsz} failed: {exc}")
+                stats.failed_batches += 1
+                continue
+            gstore.append_many(emb)
+            manifest.extend(str(p) for p, _c in kept)
+            stats.embeddings += emb.shape[0]
+        gstore.persist()
+        manifest_path(cfg.store.dir).write_text(json.dumps(manifest))
+        self.bench.record(timer.stop(items_processed=stats.embeddings))
+        host_log(
+            f"update: appended {stats.embeddings} embeddings "
+            f"({stats.files_skipped} skipped)"
+        )
+        self._engine = None  # stale device store: force a reload
+        _host_barrier("update")
+        return stats
+
     def evaluate(
         self, num_queries: int = 64, k: Optional[int] = None
     ) -> Dict[str, float]:

@@ -251,3 +251,44 @@ def test_snapshot_serve_path(corpus_dir, tmp_path):
     r2 = Pipeline(cfg.replace(skip_process=True)).run()
     assert [i for i, _ in r2.top_k] == [i for i, _ in r1.top_k]
     assert r2.mrr == 1.0
+
+
+def test_incremental_update(corpus_dir, tmp_path, capsys):
+    """update embeds only files missing from the manifest and appends them;
+    existing rows and their indices are untouched."""
+    cfg = _config(corpus_dir, tmp_path)
+    p = Pipeline(cfg)
+    p.run()
+    before = global_store(cfg.store.dir, empty=False).matrix().copy()
+
+    # add two new files
+    (corpus_dir / "a" / "New1.java").write_text("class New1 { int brand; }")
+    (corpus_dir / "b" / "New2.java").write_text("class New2 { int fresh; }")
+
+    p2 = Pipeline(cfg.replace(skip_process=True))
+    stats = p2.update()
+    assert stats.files_assigned == 2
+    assert stats.embeddings == 2
+    after = global_store(cfg.store.dir, empty=False).matrix()
+    assert after.shape[0] == before.shape[0] + 2
+    np.testing.assert_array_equal(after[: before.shape[0]], before)
+
+    # the new file is retrievable by text and maps to its path
+    ranked = p2.query(["class New1 int brand"], k=2)[0]
+    assert any(path.endswith("New1.java") for path, _i, _d in ranked)
+
+    # idempotent: nothing new on a second run
+    stats2 = Pipeline(cfg.replace(skip_process=True)).update()
+    assert stats2.files_assigned == 0
+
+    # CLI surface
+    from better_search_rag_rust_tpu.cli import main
+
+    (corpus_dir / "a" / "New3.java").write_text("class New3 {}")
+    rc = main([
+        "update", "--root", str(corpus_dir), "--store-dir", cfg.store.dir,
+        "--encoder-backend", "hash", "--dim", "96", "--max-tokens", "64",
+        "--encode-batch-size", "4",
+    ])
+    assert rc == 0
+    assert "appended 1 embeddings" in capsys.readouterr().out
