@@ -50,6 +50,9 @@ def _add_common(p: argparse.ArgumentParser) -> None:
     enc.add_argument("--dim", type=int, default=768)
     enc.add_argument("--max-tokens", type=int, default=512)
     enc.add_argument("--encode-batch-size", type=int, default=32)
+    enc.add_argument("--num-layers", type=int, default=12)
+    enc.add_argument("--num-heads", type=int, default=12)
+    enc.add_argument("--mlp-dim", type=int, default=3072)
     enc.add_argument("--matryoshka-dim", type=int, default=None,
                      help="truncate embeddings to this dim and re-normalize")
     enc.add_argument("--long-doc", default="truncate",
@@ -99,6 +102,9 @@ def _config_from_args(args, skip_process: bool) -> PipelineConfig:
             dim=args.dim,
             max_tokens=args.max_tokens,
             batch_size=args.encode_batch_size,
+            num_layers=args.num_layers,
+            num_heads=args.num_heads,
+            mlp_dim=args.mlp_dim,
             matryoshka_dim=args.matryoshka_dim,
             long_doc=args.long_doc,
         ),
@@ -130,6 +136,61 @@ def _print_result(result) -> None:
     print(result.report)
 
 
+def _finetune(args) -> int:
+    """Contrastive fine-tune over a (data, model) mesh fed by corpus pairs."""
+    import jax
+    import numpy as np
+
+    from .models.nomic import NomicBertConfig
+    from .models.tokenizer import load_tokenizer
+    from .models.train import ContrastiveTrainer
+    from .models.train_data import corpus_pair_batches
+    from .parallel.mesh import create_mesh
+
+    enc_cfg = _config_from_args(args, skip_process=True).encoder
+    model_cfg = NomicBertConfig.from_encoder_config(enc_cfg)
+    params = None
+    if enc_cfg.checkpoint_dir:
+        from .models.nomic import load_hf_checkpoint
+
+        model_cfg, params = load_hf_checkpoint(enc_cfg.checkpoint_dir, model_cfg)
+
+    n_dev = len(jax.devices())
+    tp = max(1, args.tp)
+    if n_dev % tp:
+        raise SystemExit(f"--tp {tp} does not divide {n_dev} devices")
+    mesh = create_mesh(shape=(n_dev // tp, tp), axis_names=("data", "model"))
+    trainer = ContrastiveTrainer(
+        model_cfg, mesh, learning_rate=args.learning_rate, params=params
+    )
+    tokenizer = load_tokenizer(
+        enc_cfg.checkpoint_dir, enc_cfg.max_tokens, enc_cfg.vocab_size
+    )
+    batches = corpus_pair_batches(
+        args.root, enc_cfg and tuple(
+            e.strip() for e in args.extensions.split(",") if e.strip()
+        ),
+        tokenizer, args.train_batch,
+        max_file_bytes=int(args.max_file_mb * 1024 * 1024),
+        epochs=10_000,  # bounded by --steps below
+    )
+    losses = []
+    for step, (a_ids, a_mask, p_ids, p_mask) in enumerate(batches):
+        if step >= args.steps:
+            break
+        loss = trainer.train_step(a_ids, a_mask, p_ids, p_mask)
+        losses.append(loss)
+        if step % 10 == 0 or step == args.steps - 1:
+            print(f"step {step:>5}  loss {loss:.4f}")
+    if args.save_dir:
+        from .models.checkpoint import save_params
+
+        save_params(args.save_dir, trainer.state.params)
+        print(f"params saved to {args.save_dir}")
+    print(f"final loss {losses[-1]:.4f} (first {losses[0]:.4f})")
+    return 0
+
+
 def main(argv: Optional[Sequence[str]] = None) -> int:
     parser = argparse.ArgumentParser(
         prog="bsr-tpu",
@@ -148,6 +209,19 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
         _add_common(sp)
         if name == "evaluate":
             sp.add_argument("--num-queries", type=int, default=64)
+
+    ft = sub.add_parser(
+        "finetune",
+        help="contrastive fine-tuning of the encoder on the corpus",
+    )
+    _add_common(ft)
+    ft.add_argument("--steps", type=int, default=50)
+    ft.add_argument("--learning-rate", type=float, default=2e-5)
+    ft.add_argument("--train-batch", type=int, default=32)
+    ft.add_argument("--tp", type=int, default=1,
+                    help="model (tensor-parallel) mesh axis size")
+    ft.add_argument("--save-dir", default=None,
+                    help="Orbax checkpoint dir for the tuned params")
 
     bp = sub.add_parser("bench", help="performance benchmark suite")
     bp.add_argument("--suite", default="search_1m",
@@ -178,6 +252,9 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
             result = run_suite(args.suite)
             print(json.dumps(result) if args.as_json else result)
             return 0
+
+        if args.command == "finetune":
+            return _finetune(args)
 
         from .pipeline import Pipeline
 

@@ -33,9 +33,14 @@ def _checkpointer():
 
 
 def save_params(path: str | os.PathLike, params: Any) -> None:
-    """Write a param tree (sharded arrays welcome) to ``path``."""
+    """Write a param tree (sharded arrays welcome) to ``path``. Blocks until
+    the (async) checkpointer has committed the files."""
     path = Path(path).absolute()
-    _checkpointer().save(path, params, force=True)
+    ckpt = _checkpointer()
+    ckpt.save(path, params, force=True)
+    wait = getattr(ckpt, "wait_until_finished", None)
+    if wait is not None:
+        wait()
 
 
 def load_params(path: str | os.PathLike, like: Optional[Any] = None) -> Any:

@@ -133,3 +133,55 @@ def test_checkpoint_roundtrip_preserves_sharding(tiny_cfg, dp_tp_mesh, tmp_path)
     ids = np.ones((8, 8), np.int32)
     loss = resumed.train_step(ids, ids * 0 + 1, ids, ids * 0 + 1)
     assert np.isfinite(loss)
+
+
+def test_corpus_pair_batches(tmp_path):
+    import numpy as np
+
+    from better_search_rag_rust_tpu.models.tokenizer import HashingTokenizer
+    from better_search_rag_rust_tpu.models.train_data import (
+        corpus_pair_batches,
+        pairs_from_texts,
+    )
+
+    root = tmp_path / "src"
+    root.mkdir()
+    for i in range(9):
+        body = " ".join(f"tok{i}_{j}" for j in range(40))
+        (root / f"F{i}.java").write_text(f"class F{i} {{ {body} }}")
+    tok = HashingTokenizer(vocab_size=512, max_tokens=16)
+
+    batches = list(corpus_pair_batches(
+        str(root), ("java",), tok, batch_size=4, epochs=2))
+    assert len(batches) == 4  # 9 files -> 2 full batches/epoch x 2 epochs
+    a_ids, a_mask, p_ids, p_mask = batches[0]
+    assert a_ids.shape == (4, 16) and p_ids.shape == (4, 16)
+    # multi-window files: anchor and positive are different windows
+    texts = [" ".join(f"w{j}" for j in range(100))]
+    a_i, a_m, p_i, p_m = pairs_from_texts(texts, tok, seed=1)
+    assert not np.array_equal(a_i, p_i)
+    # determinism
+    b2 = list(corpus_pair_batches(str(root), ("java",), tok, 4, epochs=1))
+    np.testing.assert_array_equal(batches[0][0], b2[0][0])
+
+
+def test_cli_finetune(tmp_path, capsys):
+    from better_search_rag_rust_tpu.cli import main
+
+    root = tmp_path / "src"
+    root.mkdir()
+    for i in range(8):
+        (root / f"F{i}.java").write_text(
+            f"class F{i} {{ " + " ".join(f"m{i}_{j}" for j in range(30)) + " }}"
+        )
+    rc = main([
+        "finetune", "--root", str(root), "--steps", "3",
+        "--train-batch", "4", "--tp", "2",
+        "--dim", "32", "--max-tokens", "16", "--encoder-backend", "hash",
+        "--num-layers", "1", "--num-heads", "2", "--mlp-dim", "64",
+        "--save-dir", str(tmp_path / "ckpt"),
+    ])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "final loss" in out
+    assert (tmp_path / "ckpt").exists()
