@@ -62,6 +62,12 @@ class NomicBertConfig:
     #: "auto" = Pallas flash attention on TPU, explicit XLA attention
     #: elsewhere; "flash" / "xla" force one implementation.
     attention_impl: str = "auto"
+    #: Megatron-style sequence parallelism: when set to (data_axis,
+    #: model_axis) mesh names, the residual stream between blocks is
+    #: sharded [batch@data, seq@model, hidden] — layernorms and elementwise
+    #: work split over the TP axis, XLA inserting the all-gather at each
+    #: block's matmul boundary (and the reduce-scatter back).
+    sp_mesh_axes: Optional[Tuple[str, str]] = None
 
     @property
     def head_dim(self) -> int:
@@ -225,6 +231,19 @@ class NomicMlp(nn.Module):
         return nn.Dense(d, use_bias=True, dtype=cfg.dtype, name="fc2")(y)
 
 
+def _sp_constrain(x: jax.Array, cfg: NomicBertConfig, gathered: bool):
+    """Sequence-parallel sharding constraint on ``[B, S, D]`` activations:
+    ``gathered=False`` shards the sequence dim over the TP axis (norm /
+    residual regions), ``gathered=True`` replicates it (matmul regions)."""
+    if cfg.sp_mesh_axes is None:
+        return x
+    from jax.sharding import PartitionSpec as P
+
+    data_ax, model_ax = cfg.sp_mesh_axes
+    spec = P(data_ax, None, None) if gathered else P(data_ax, model_ax, None)
+    return jax.lax.with_sharding_constraint(x, spec)
+
+
 class NomicLayer(nn.Module):
     """Post-LN transformer block: x = LN1(x + attn(x)); x = LN2(x + mlp(x))."""
 
@@ -233,16 +252,22 @@ class NomicLayer(nn.Module):
     @nn.compact
     def __call__(self, x, mask_bias, cos, sin, attention_mask=None):
         cfg = self.config
+        x = _sp_constrain(x, cfg, gathered=True)
         attn_out = NomicAttention(cfg, name="attn")(
             x, mask_bias, cos, sin, attention_mask
         )
         x = nn.LayerNorm(
             epsilon=cfg.layer_norm_eps, dtype=jnp.float32, name="norm1"
-        )((x + attn_out).astype(jnp.float32)).astype(cfg.dtype)
+        )(
+            _sp_constrain((x + attn_out).astype(jnp.float32), cfg, gathered=False)
+        ).astype(cfg.dtype)
+        x = _sp_constrain(x, cfg, gathered=True)
         mlp_out = NomicMlp(cfg, name="mlp")(x)
         x = nn.LayerNorm(
             epsilon=cfg.layer_norm_eps, dtype=jnp.float32, name="norm2"
-        )((x + mlp_out).astype(jnp.float32)).astype(cfg.dtype)
+        )(
+            _sp_constrain((x + mlp_out).astype(jnp.float32), cfg, gathered=False)
+        ).astype(cfg.dtype)
         return x
 
 

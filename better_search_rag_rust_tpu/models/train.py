@@ -132,17 +132,37 @@ class ContrastiveTrainer:
         temperature: float = 0.05,
         seed: int = 0,
         params: Optional[Dict] = None,
+        sequence_parallel: bool = True,
     ):
+        import dataclasses
+
+        if (
+            sequence_parallel
+            and mesh.shape.get(MODEL_AXIS, 1) > 1
+            and config.max_tokens % mesh.shape[MODEL_AXIS] == 0
+            and config.sp_mesh_axes is None
+        ):
+            # SP over the TP axis: residual-stream norms split their
+            # sequence dim across 'model' (see nomic._sp_constrain).
+            config = dataclasses.replace(
+                config, sp_mesh_axes=(DATA_AXIS, MODEL_AXIS)
+            )
         self.config = config
         self.mesh = mesh
         self.model = NomicBertModel(config)
         self.tx = optax.adamw(learning_rate)
 
         if params is None:
-            dummy = jnp.zeros((1, config.max_tokens), dtype=jnp.int32)
-            params = self.model.init(
-                jax.random.PRNGKey(seed), dummy, jnp.ones_like(dummy)
-            )["params"]
+            # dummy batch divisible by the data axis: the SP constraints
+            # shard activations over it even during init tracing.
+            dummy_b = mesh.shape.get(DATA_AXIS, 1)
+            dummy = jnp.zeros((dummy_b, config.max_tokens), dtype=jnp.int32)
+            # set_mesh context lets the model's P(...)-form SP constraints
+            # resolve axis names during tracing.
+            with jax.set_mesh(mesh):
+                params = self.model.init(
+                    jax.random.PRNGKey(seed), dummy, jnp.ones_like(dummy)
+                )["params"]
         params = shard_params(params, mesh)
         opt_state = self.tx.init(params)
         self.state = TrainState(params, opt_state, jnp.zeros((), jnp.int32))
@@ -199,7 +219,11 @@ class ContrastiveTrainer:
         to_dev = lambda x: jax.device_put(
             np.asarray(x, dtype=np.int32), self._batch_sharding
         )
-        self.state, loss = self._step(
-            self.state, to_dev(a_ids), to_dev(a_mask), to_dev(p_ids), to_dev(p_mask)
-        )
+        # Mesh context so P(...)-form sharding constraints (the SP
+        # annotations inside the model) resolve axis names.
+        with jax.set_mesh(self.mesh):
+            self.state, loss = self._step(
+                self.state, to_dev(a_ids), to_dev(a_mask),
+                to_dev(p_ids), to_dev(p_mask),
+            )
         return float(jax.device_get(loss))

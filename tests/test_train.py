@@ -185,3 +185,26 @@ def test_cli_finetune(tmp_path, capsys):
     out = capsys.readouterr().out
     assert "final loss" in out
     assert (tmp_path / "ckpt").exists()
+
+
+def test_sequence_parallel_train_step(tiny_cfg, dp_tp_mesh):
+    """SP over the TP axis: activations shard their sequence dim across
+    'model' in the norm regions. Loss must track the non-SP trainer within
+    reduction-order noise and decrease."""
+    import numpy as np
+
+    rng = np.random.default_rng(3)
+    ids = rng.integers(1, 128, size=(8, 8)).astype(np.int32)
+    mask = np.ones((8, 8), np.int32)
+
+    tr_sp = ContrastiveTrainer(tiny_cfg, dp_tp_mesh, learning_rate=1e-3,
+                               sequence_parallel=True)
+    assert tr_sp.config.sp_mesh_axes == ("data", "model")
+    losses = [tr_sp.train_step(ids, mask, ids, mask) for _ in range(3)]
+    assert losses[-1] < losses[0]
+
+    tr_ns = ContrastiveTrainer(tiny_cfg, dp_tp_mesh, learning_rate=1e-3,
+                               sequence_parallel=False)
+    assert tr_ns.config.sp_mesh_axes is None
+    l0 = tr_ns.train_step(ids, mask, ids, mask)
+    assert abs(losses[0] - l0) < 1e-2  # reduction-order noise only
