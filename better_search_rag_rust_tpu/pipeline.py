@@ -226,9 +226,29 @@ class Pipeline:
         timer = self.bench.start("embedding_generation")
         bsz = cfg.corpus.files_per_batch
         ckpt_every = cfg.checkpoint_every_batches
-        for batch_idx, start in enumerate(range(done_files, len(mine), bsz)):
+
+        # Prefetch file reads on a background thread so disk I/O (threaded
+        # C++ reader when available) overlaps the device forward of the
+        # previous batch — the reference's chunk loop is fully serial
+        # (read, embed, append per chunk; src/mpi_helpers/tasks.rs:94-148).
+        from concurrent.futures import ThreadPoolExecutor
+
+        starts = list(range(done_files, len(mine), bsz))
+        prefetcher = ThreadPoolExecutor(max_workers=1)
+        futures = {}
+
+        def _submit(idx):
+            if 0 <= idx < len(starts) and idx not in futures:
+                s = starts[idx]
+                futures[idx] = prefetcher.submit(
+                    read_files, mine[s : s + bsz], cfg.corpus.max_file_bytes
+                )
+
+        _submit(0)
+        for batch_idx, start in enumerate(starts):
+            _submit(batch_idx + 1)
             batch_paths = mine[start : start + bsz]
-            contents = read_files(batch_paths, cfg.corpus.max_file_bytes)
+            contents = futures.pop(batch_idx).result()
             kept = [(p, c) for p, c in contents if c]
             texts = [c for _p, c in kept]
             stats.files_skipped += len(batch_paths) - len(texts)
@@ -247,6 +267,7 @@ class Pipeline:
                 stats.embeddings += emb.shape[0]
             if ckpt_every and (batch_idx + 1) % ckpt_every == 0:
                 checkpoint(start + len(batch_paths))
+        prefetcher.shutdown(wait=False)
         checkpoint(len(mine))
         self.bench.record(timer.stop(items_processed=stats.embeddings))
         host_log(
