@@ -147,7 +147,8 @@ def _finetune(args) -> int:
     from .models.train_data import corpus_pair_batches
     from .parallel.mesh import create_mesh
 
-    enc_cfg = _config_from_args(args, skip_process=True).encoder
+    cfg = _config_from_args(args, skip_process=True)
+    enc_cfg = cfg.encoder
     model_cfg = NomicBertConfig.from_encoder_config(enc_cfg)
     params = None
     if enc_cfg.checkpoint_dir:
@@ -167,11 +168,9 @@ def _finetune(args) -> int:
         enc_cfg.checkpoint_dir, enc_cfg.max_tokens, enc_cfg.vocab_size
     )
     batches = corpus_pair_batches(
-        args.root, enc_cfg and tuple(
-            e.strip() for e in args.extensions.split(",") if e.strip()
-        ),
+        cfg.corpus.root, cfg.corpus.extensions,
         tokenizer, args.train_batch,
-        max_file_bytes=int(args.max_file_mb * 1024 * 1024),
+        max_file_bytes=cfg.corpus.max_file_bytes,
         epochs=10_000,  # bounded by --steps below
     )
     losses = []
@@ -182,6 +181,9 @@ def _finetune(args) -> int:
         losses.append(loss)
         if step % 10 == 0 or step == args.steps - 1:
             print(f"step {step:>5}  loss {loss:.4f}")
+    if not losses:
+        print("no training steps ran (--steps must be positive)")
+        return 1
     if args.save_dir:
         from .models.checkpoint import save_params
 

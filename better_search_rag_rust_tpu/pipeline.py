@@ -245,29 +245,31 @@ class Pipeline:
                 )
 
         _submit(0)
-        for batch_idx, start in enumerate(starts):
-            _submit(batch_idx + 1)
-            batch_paths = mine[start : start + bsz]
-            contents = futures.pop(batch_idx).result()
-            kept = [(p, c) for p, c in contents if c]
-            texts = [c for _p, c in kept]
-            stats.files_skipped += len(batch_paths) - len(texts)
-            stats.files_read += len(texts)
-            if texts:
-                try:
-                    emb = self.encoder.get_embeddings(texts)
-                except Exception as exc:  # log-and-continue, tasks.rs:118-124
-                    host_log(
-                        f"batch {start // bsz} failed ({len(texts)} files): {exc}"
-                    )
-                    stats.failed_batches += 1
-                    continue
-                store.append_many(emb)
-                row_paths.extend(str(p) for p, _c in kept)
-                stats.embeddings += emb.shape[0]
-            if ckpt_every and (batch_idx + 1) % ckpt_every == 0:
-                checkpoint(start + len(batch_paths))
-        prefetcher.shutdown(wait=False)
+        try:
+            for batch_idx, start in enumerate(starts):
+                _submit(batch_idx + 1)
+                batch_paths = mine[start : start + bsz]
+                contents = futures.pop(batch_idx).result()
+                kept = [(p, c) for p, c in contents if c]
+                texts = [c for _p, c in kept]
+                stats.files_skipped += len(batch_paths) - len(texts)
+                stats.files_read += len(texts)
+                if texts:
+                    try:
+                        emb = self.encoder.get_embeddings(texts)
+                    except Exception as exc:  # log-and-continue, tasks.rs:118-124
+                        host_log(
+                            f"batch {start // bsz} failed ({len(texts)} files): {exc}"
+                        )
+                        stats.failed_batches += 1
+                        continue
+                    store.append_many(emb)
+                    row_paths.extend(str(p) for p, _c in kept)
+                    stats.embeddings += emb.shape[0]
+                if ckpt_every and (batch_idx + 1) % ckpt_every == 0:
+                    checkpoint(start + len(batch_paths))
+        finally:
+            prefetcher.shutdown(wait=False, cancel_futures=True)
         checkpoint(len(mine))
         self.bench.record(timer.stop(items_processed=stats.embeddings))
         host_log(
@@ -333,15 +335,27 @@ class Pipeline:
         path = global_store_path(cfg.store.dir)
         snap_dir = Path(cfg.store.dir) / "device_cache"
         if cfg.store.use_snapshot:
+            import json as _json
+
             from .store.device_cache import load_device_store, snapshot_exists
 
-            meta = snap_dir / "device_store.json"
+            meta_path = snap_dir / "device_store.json"
             if (
                 snapshot_exists(snap_dir)
                 and path.exists()
-                and meta.stat().st_mtime >= path.stat().st_mtime
+                and meta_path.stat().st_mtime >= path.stat().st_mtime
             ):
                 try:
+                    import jax.numpy as jnp
+
+                    meta = _json.loads(meta_path.read_text())
+                    # The snapshot must match the *requested* serving config:
+                    # dtype changes the scores (exactness is per-dtype).
+                    want = str(jnp.dtype(cfg.search.store_dtype))
+                    if meta.get("dtype") != want:
+                        raise ValueError(
+                            f"snapshot dtype {meta.get('dtype')} != requested {want}"
+                        )
                     store = load_device_store(snap_dir, self.mesh)
                     host_log(f"device store restored from snapshot {snap_dir}")
                     return store
@@ -422,6 +436,8 @@ class Pipeline:
             manifest_path,
         )
 
+        import os as _os
+
         cfg = self.config
         proc, _ = _process_info()
         stats = IngestStats()
@@ -429,53 +445,61 @@ class Pipeline:
             _host_barrier("update")
             return stats
 
-        files = find_files_by_extensions(cfg.corpus.root, cfg.corpus.extensions)
-        stats.files_found = len(files)
-        manifest = load_manifest(cfg.store.dir) or []
-        known = set(manifest)
-        new_files = [f for f in files if str(f) not in known]
-        stats.files_assigned = len(new_files)
-        if not new_files:
-            host_log("update: store already covers the corpus")
-            _host_barrier("update")
-            return stats
-
-        gstore = global_store(cfg.store.dir, empty=False)
-        if gstore.count != len(manifest):
-            raise RuntimeError(
-                f"manifest ({len(manifest)} paths) out of sync with store "
-                f"({gstore.count} rows) — rebuild with a full ingest"
+        # Host 0 must reach the barrier even on failure — otherwise every
+        # other host hangs in sync_global_devices.
+        try:
+            files = find_files_by_extensions(
+                cfg.corpus.root, cfg.corpus.extensions
             )
+            stats.files_found = len(files)
+            manifest = load_manifest(cfg.store.dir) or []
+            known = set(manifest)
+            new_files = [f for f in files if str(f) not in known]
+            stats.files_assigned = len(new_files)
+            if not new_files:
+                host_log("update: store already covers the corpus")
+                return stats
 
-        timer = self.bench.start("embedding_generation")
-        bsz = cfg.corpus.files_per_batch
-        for start in range(0, len(new_files), bsz):
-            batch_paths = new_files[start : start + bsz]
-            contents = read_files(batch_paths, cfg.corpus.max_file_bytes)
-            kept = [(p, c) for p, c in contents if c]
-            stats.files_skipped += len(batch_paths) - len(kept)
-            stats.files_read += len(kept)
-            if not kept:
-                continue
-            try:
-                emb = self.encoder.get_embeddings([c for _p, c in kept])
-            except Exception as exc:  # log-and-continue, tasks.rs:118-124
-                host_log(f"update batch {start // bsz} failed: {exc}")
-                stats.failed_batches += 1
-                continue
-            gstore.append_many(emb)
-            manifest.extend(str(p) for p, _c in kept)
-            stats.embeddings += emb.shape[0]
-        gstore.persist()
-        manifest_path(cfg.store.dir).write_text(json.dumps(manifest))
-        self.bench.record(timer.stop(items_processed=stats.embeddings))
-        host_log(
-            f"update: appended {stats.embeddings} embeddings "
-            f"({stats.files_skipped} skipped)"
-        )
-        self._engine = None  # stale device store: force a reload
-        _host_barrier("update")
-        return stats
+            gstore = global_store(cfg.store.dir, empty=False)
+            if gstore.count != len(manifest):
+                raise RuntimeError(
+                    f"manifest ({len(manifest)} paths) out of sync with store "
+                    f"({gstore.count} rows) — rebuild with a full ingest"
+                )
+
+            timer = self.bench.start("embedding_generation")
+            bsz = cfg.corpus.files_per_batch
+            for start in range(0, len(new_files), bsz):
+                batch_paths = new_files[start : start + bsz]
+                contents = read_files(batch_paths, cfg.corpus.max_file_bytes)
+                kept = [(p, c) for p, c in contents if c]
+                stats.files_skipped += len(batch_paths) - len(kept)
+                stats.files_read += len(kept)
+                if not kept:
+                    continue
+                try:
+                    emb = self.encoder.get_embeddings([c for _p, c in kept])
+                except Exception as exc:  # log-and-continue, tasks.rs:118-124
+                    host_log(f"update batch {start // bsz} failed: {exc}")
+                    stats.failed_batches += 1
+                    continue
+                gstore.append_many(emb)
+                manifest.extend(str(p) for p, _c in kept)
+                stats.embeddings += emb.shape[0]
+            gstore.persist()  # atomic (tmp+rename inside)
+            mpath = manifest_path(cfg.store.dir)
+            tmp = mpath.with_suffix(f".{_os.getpid()}.tmp")
+            tmp.write_text(json.dumps(manifest))
+            _os.replace(tmp, mpath)
+            self.bench.record(timer.stop(items_processed=stats.embeddings))
+            host_log(
+                f"update: appended {stats.embeddings} embeddings "
+                f"({stats.files_skipped} skipped)"
+            )
+            self._engine = None  # stale device store: force a reload
+            return stats
+        finally:
+            _host_barrier("update")
 
     def evaluate(
         self, num_queries: int = 64, k: Optional[int] = None

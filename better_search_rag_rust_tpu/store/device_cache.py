@@ -31,7 +31,13 @@ def save_device_store(cache_dir: str | os.PathLike, store: DeviceStore) -> None:
     """Snapshot a built :class:`DeviceStore` (array + layout metadata)."""
     cache_dir = Path(cache_dir).absolute()
     cache_dir.mkdir(parents=True, exist_ok=True)
-    _checkpointer().save(cache_dir / _ARRAY, {"data": store.data}, force=True)
+    ckpt = _checkpointer()
+    ckpt.save(cache_dir / _ARRAY, {"data": store.data}, force=True)
+    # StandardCheckpointer is async: the array files must be committed
+    # BEFORE the metadata marker below makes the snapshot look valid.
+    wait = getattr(ckpt, "wait_until_finished", None)
+    if wait is not None:
+        wait()
     meta = {
         "num_rows": store.num_rows,
         "dim": store.dim,
@@ -72,13 +78,19 @@ def load_device_store(
         )
     }
     restored = _checkpointer().restore(cache_dir / _ARRAY, target)
+    per_dev = shape[0] // n_shards
+    # Resharding onto more shards can shrink per-device rows below the
+    # recorded scan chunk; the scan kernels require chunk | per_device_rows.
+    chunk = min(int(meta["chunk"]), per_dev)
+    if per_dev % chunk:
+        chunk = per_dev  # single-chunk scan is always valid
     return DeviceStore(
         data=restored["data"],
         mesh=mesh,
         num_rows=meta["num_rows"],
         dim=meta["dim"],
-        per_device_rows=shape[0] // n_shards,
-        chunk=meta["chunk"],
+        per_device_rows=per_dev,
+        chunk=chunk,
         matryoshka_from=meta["matryoshka_from"],
     )
 

@@ -151,3 +151,63 @@ def test_device_store_snapshot_reshard(tmp_path, mesh8, mesh1):
     np.testing.assert_allclose(
         store.effective_matrix(), restored.effective_matrix(), atol=1e-6
     )
+
+
+def test_snapshot_reshard_fixes_chunk(tmp_path, mesh1, mesh8):
+    """Resharding a snapshot onto MORE shards must keep chunk dividing
+    per-device rows (scan kernels require it)."""
+    from better_search_rag_rust_tpu.store.device_cache import (
+        load_device_store,
+        save_device_store,
+    )
+
+    mat = mock_embeddings(256, dim=16, seed=81)
+    store = DeviceStore.from_host(mat, mesh1, dtype="float32", chunk_rows=256)
+    assert store.chunk == 256
+    cache = tmp_path / "snap"
+    save_device_store(cache, store)
+    restored = load_device_store(cache, mesh8)  # per_dev = 32 < chunk
+    assert restored.per_device_rows % restored.chunk == 0
+    ids, _ = SearchEngine(restored, SearchConfig(kernel="scan")).search(
+        mat[:2], k=5
+    )
+    o_ids, _ = SearchEngine(restored, SearchConfig(kernel="scan")).oracle_topk(
+        mat[:2], k=5
+    )
+    np.testing.assert_array_equal(ids, o_ids)
+
+
+def test_snapshot_dtype_mismatch_falls_back(tmp_path):
+    """Requesting a different --store-dtype than the snapshot was built with
+    must fall back to Parquet (scores are per-dtype)."""
+    import dataclasses
+
+    from better_search_rag_rust_tpu.config import (
+        CorpusConfig,
+        EncoderConfig,
+        PipelineConfig,
+        SearchConfig,
+        StoreConfig,
+    )
+    from better_search_rag_rust_tpu.pipeline import Pipeline
+
+    root = tmp_path / "src"
+    root.mkdir()
+    for i in range(6):
+        (root / f"F{i}.java").write_text(f"class F{i} {{ int x{i}; }}")
+    cfg = PipelineConfig(
+        corpus=CorpusConfig(root=str(root), extensions=("java",),
+                            files_per_batch=4),
+        encoder=EncoderConfig(backend="hash", dim=64, vocab_size=1024,
+                              max_tokens=32, batch_size=4),
+        store=StoreConfig(dir=str(tmp_path / "vs"), use_snapshot=True),
+        search=SearchConfig(top_k=3, store_dtype="bfloat16"),
+    )
+    Pipeline(cfg).run()  # writes a bf16 snapshot
+    f32_cfg = cfg.replace(
+        skip_process=True,
+        search=dataclasses.replace(cfg.search, store_dtype="float32"),
+    )
+    p = Pipeline(f32_cfg)
+    store = p.load_device_store()
+    assert str(store.data.dtype) == "float32"  # parquet path, not snapshot
