@@ -244,6 +244,12 @@ def run_pipeline_suite(files: int = 512, dim: int = 768) -> dict:
             search=SearchConfig(top_k=50),
         )
         p = Pipeline(cfg)
+        # Startup (encoder init + first-compile) is reported separately —
+        # through the relayed test TPU the one-time compile varies 20-300 s
+        # and would swamp a 512-file throughput number.
+        t0 = time.perf_counter()
+        p.encoder.get_embeddings(["warm up the compiled forward"])
+        startup = time.perf_counter() - t0
         t0 = time.perf_counter()
         stats = p.ingest_shard()
         p.merge()
@@ -255,6 +261,7 @@ def run_pipeline_suite(files: int = 512, dim: int = 768) -> dict:
             "vs_baseline": 0.0,
             "files": stats.embeddings,
             "elapsed_s": round(elapsed, 2),
+            "startup_s": round(startup, 2),
         }
     finally:
         shutil.rmtree(tmp, ignore_errors=True)

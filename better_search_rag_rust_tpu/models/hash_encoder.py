@@ -44,10 +44,13 @@ class HashEncoder:
         self.max_tokens = max_tokens
         self.tokenizer = HashingTokenizer(vocab_size, max_tokens)
         # Deterministic table; unit-normal so pooled vectors are well-scaled.
-        table = jax.random.normal(
-            jax.random.PRNGKey(seed), (vocab_size, dim), dtype=jnp.float32
+        # Generated host-side: numpy is stable across backends/JAX versions,
+        # and device-side threefry for 23M elements measured 20-340 s through
+        # the TPU relay vs ~0.3 s + one 47 MB upload here.
+        table = np.random.default_rng(seed).standard_normal(
+            (vocab_size, dim), dtype=np.float32
         )
-        self.table = table.astype(jnp.dtype(dtype))
+        self.table = jax.device_put(table).astype(jnp.dtype(dtype))
 
         @jax.jit
         def fwd(table, ids, mask):
