@@ -50,18 +50,26 @@ def _pick_row_tile(
     multiple of 8 blocks so the transposed block-max output block keeps an
     8-aligned sublane dim. ``itemsize`` = operand dtype bytes."""
     step = 8 * block
+
+    def vmem(rt: int) -> int:
+        # Pallas double-buffers the streamed operands/outputs (store tile in,
+        # sims tile out); the query tile is resident once. Measured: ignoring
+        # the x2 overcommits VMEM and Mosaic compilation fails.
+        return (
+            2 * rt * dim * itemsize
+            + 2 * q_tile * rt * 4
+            + q_tile * dim * itemsize
+        )
+
     for rt in (4 * step, 2 * step, step):
         if rows % rt:
             continue
-        vmem = rt * dim * itemsize + q_tile * rt * 4 + q_tile * dim * itemsize
-        if vmem <= 8 * 1024 * 1024:
+        if vmem(rt) <= 12 * 1024 * 1024:
             return rt
     # Single-tile fallback (small shards): a block equal to the full array
-    # dim is always layout-legal, whatever its alignment.
-    if (
-        rows * dim * itemsize + q_tile * rows * 4 + q_tile * dim * itemsize
-        <= 8 * 1024 * 1024
-    ):
+    # dim is always layout-legal, whatever its alignment (and single-step
+    # grids don't double-buffer).
+    if vmem(rows) // 2 <= 12 * 1024 * 1024:
         return rows
     raise ValueError(
         f"no row tile divides rows={rows} "
