@@ -139,13 +139,22 @@ class BenchmarkManager:
 
     # -- cross-host gather -----------------------------------------------------
 
+    #: Fixed-shape caps for the cross-host exchange (names travel too —
+    #: hosts may record different op sets, e.g. root-only vector_store_merge).
+    MAX_OPS = 64
+    NAME_BYTES = 48
+
     def gather_timings(self) -> Dict[str, OpStats]:
         """Aggregate per-op totals across all hosts
-        (reference: benchmark.rs:112-293, reimagined as one fixed-size
-        allgather instead of ragged p2p)."""
+        (reference: benchmark.rs:112-293, reimagined as fixed-size
+        allgathers instead of ragged p2p). Hosts may have recorded
+        *different* op sets — the reference's root-only merge timing is the
+        canonical case — so each host ships a padded name table alongside
+        its numbers and the union is taken on every host."""
         import jax
 
-        names = sorted(self._timings)
+        names = sorted(self._timings)[: self.MAX_OPS]
+
         # [ops, 3] rows: (total seconds, item-count high 24 bits, low 24
         # bits). process_allgather coerces to float32 under the default
         # x64-disabled config, so counts > 2^24 are split into two exactly-
@@ -157,27 +166,54 @@ class BenchmarkManager:
             v = int(self.local_items(n))
             return (float(v >> 24), float(v & 0xFFFFFF))
 
-        local = np.asarray(
-            [[self.local_total(n), *_split(n)] for n in names],
-            dtype=np.float32,
-        ).reshape(len(names), 3)
+        local = np.zeros((self.MAX_OPS, 3), dtype=np.float32)
+        local[:, 1:] = -1.0  # unused rows carry the no-items sentinel
+        name_blob = np.zeros((self.MAX_OPS, self.NAME_BYTES), dtype=np.uint8)
+        for i, n in enumerate(names):
+            local[i] = [self.local_total(n), *_split(n)]
+            raw = n.encode("utf-8")[: self.NAME_BYTES]
+            name_blob[i, : len(raw)] = np.frombuffer(raw, dtype=np.uint8)
 
         if jax.process_count() > 1:
             from jax.experimental import multihost_utils
 
             gathered = np.asarray(
                 multihost_utils.process_allgather(local)
-            )  # [hosts, ops, 3]
+            )  # [hosts, MAX_OPS, 3]
+            all_names = np.asarray(
+                multihost_utils.process_allgather(name_blob.astype(np.int32))
+            ).astype(np.uint8)  # [hosts, MAX_OPS, NAME_BYTES]
         else:
             gathered = local[None]
+            all_names = name_blob[None]
+
+        def _decode(row: np.ndarray) -> str:
+            return bytes(row[row > 0].tolist()).decode("utf-8", "replace")
+
+        # Union of op names across hosts, with each host's row index for it.
+        per_host_names = [
+            [_decode(all_names[h, i]) for i in range(self.MAX_OPS)]
+            for h in range(all_names.shape[0])
+        ]
+        union = sorted(
+            {n for host in per_host_names for n in host if n}
+        )
 
         stats: Dict[str, OpStats] = {}
-        for i, name in enumerate(names):
-            secs = gathered[:, i, 0]
-            hi, lo = gathered[:, i, 1], gathered[:, i, 2]
-            items = np.where(
-                hi >= 0, hi.astype(np.int64) * (1 << 24) + lo.astype(np.int64), -1
-            )
+        for name in union:
+            secs, items_list, hosts = [], [], []
+            for h, host_names in enumerate(per_host_names):
+                if name not in host_names:
+                    continue
+                i = host_names.index(name)
+                hosts.append(h)
+                secs.append(gathered[h, i, 0])
+                hi, lo = gathered[h, i, 1], gathered[h, i, 2]
+                items_list.append(
+                    int(hi) * (1 << 24) + int(lo) if hi >= 0 else -1
+                )
+            secs = np.asarray(secs)
+            items = np.asarray(items_list)
             total_items = None
             if (items >= 0).any():
                 total_items = int(items[items >= 0].sum())
@@ -186,8 +222,8 @@ class BenchmarkManager:
                 min_s=float(secs.min()),
                 max_s=float(secs.max()),
                 avg_s=float(secs.mean()),
-                min_host=int(secs.argmin()),
-                max_host=int(secs.argmax()),
+                min_host=int(hosts[int(secs.argmin())]),
+                max_host=int(hosts[int(secs.argmax())]),
                 total_items=total_items,
             )
         return stats

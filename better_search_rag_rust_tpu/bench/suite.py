@@ -39,6 +39,30 @@ from ..config import SearchConfig
 
 SERIAL_SCALE_RANKS = 24  # the reference's paper benchmark rank count
 
+#: Peak dense bf16 matmul throughput per chip, FLOP/s (for MFU reporting).
+_PEAK_BF16_FLOPS = {
+    "TPU v5 lite": 197e12,  # v5e
+    "TPU v5e": 197e12,
+    "TPU v5": 459e12,  # v5p
+    "TPU v4": 275e12,
+    "TPU v6 lite": 918e12,  # v6e / Trillium
+    "TPU v6e": 918e12,
+}
+
+
+def device_peak_flops() -> Optional[float]:
+    """Peak bf16 FLOP/s of the local device, or None when unknown."""
+    import jax
+
+    kind = getattr(jax.devices()[0], "device_kind", "")
+    best = None
+    for name, peak in _PEAK_BF16_FLOPS.items():
+        if kind.lower().startswith(name.lower()):
+            # longest prefix wins ("TPU v5 lite" over "TPU v5")
+            if best is None or len(name) > best[0]:
+                best = (len(name), peak)
+    return best[1] if best else None
+
 
 @dataclass(frozen=True)
 class SearchSuite:
@@ -108,19 +132,33 @@ def synthetic_device_store(mesh, rows: int, dim: int, dtype: str,
 
 def _serial_baseline_qps(store_rows: int, dim: int, top_k: int,
                          sample_rows: int, sample_queries: int) -> float:
-    """Measured NumPy serial scan (the reference's sequential path: full
-    matmul + sort + truncate, src/mpi_helpers/metrics.rs:16-53) on a
-    subsample, extrapolated linearly to ``store_rows``."""
+    """Measured NumPy serial scan on a subsample, extrapolated linearly to
+    ``store_rows``.
+
+    Deliberately a *competent* baseline, not a strawman: BLAS matmul with
+    every host core, then ``argpartition`` (O(N)) + a sort of only the top-k
+    — strictly faster than the reference's per-row scalar cosine + full sort
+    (src/mpi_helpers/metrics.rs:16-53). The subsample is timed over several
+    repeats and the fastest repeat is used, bounding extrapolation error
+    from warmup/allocator noise on the generous side."""
     rng = np.random.default_rng(7)
     sample_rows = min(sample_rows, store_rows)
     store = rng.standard_normal((sample_rows, dim), dtype=np.float32)
     store /= np.linalg.norm(store, axis=1, keepdims=True)
     queries = store[:sample_queries]
-    t0 = time.perf_counter()
-    sims = queries @ store.T
-    order = np.argsort(-sims, axis=1)[:, :top_k]
-    order.copy()
-    dt = time.perf_counter() - t0
+    k = min(top_k, sample_rows)
+
+    def scan() -> float:
+        t0 = time.perf_counter()
+        sims = queries @ store.T
+        part = np.argpartition(-sims, k - 1, axis=1)[:, :k]
+        part_sims = np.take_along_axis(sims, part, axis=1)
+        order = np.argsort(-part_sims, axis=1, kind="stable")
+        np.take_along_axis(part, order, axis=1).copy()
+        return time.perf_counter() - t0
+
+    scan()  # warm BLAS thread pool + page cache
+    dt = min(scan() for _ in range(3))
     per_query_per_row = dt / (sample_queries * sample_rows)
     return 1.0 / (per_query_per_row * store_rows)
 
@@ -163,17 +201,26 @@ def run_search_suite(name: str, suite: SearchSuite) -> dict:
 
     # Device-resident throughput: queries already in HBM (the serving shape —
     # the encoder produces them on-chip), results consumed on-chip. Dispatches
-    # are pipelined and synchronized once, so the per-call host/relay overhead
-    # (~26 ms through the test tunnel) amortizes away.
+    # are pipelined and synchronized ONCE via a forced 1-element readback of
+    # the final output — `block_until_ready` does NOT reliably synchronize
+    # through the relayed test TPU, so the readback is the only trustworthy
+    # completion signal; its fixed relay cost is measured and subtracted.
     k_eff = min(suite.top_k, store.num_rows)
-    fn = engine._get_fn(suite.queries, k_eff)
-    qdev = jax.device_put(jnp.asarray(engine.effective_queries(queries)))
-    out = fn(store.data, qdev)
-    jax.block_until_ready(out)
+    qdev = engine.prepare_device_queries(queries)
+    out = engine.search_device(qdev, k=suite.top_k)
+
+    def _sync(o) -> None:
+        np.asarray(jax.device_get(o[0][:1, :1]))
+
+    _sync(out)  # warm + compile
     t0 = time.perf_counter()
-    outs = [fn(store.data, qdev) for _ in range(suite.iters)]
-    jax.block_until_ready(outs)
-    dev_elapsed = time.perf_counter() - t0
+    _sync(out)  # already-computed buffer: pure relay/readback latency
+    sync_cost = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    for _ in range(suite.iters):
+        out = engine.search_device(qdev, k=suite.top_k)
+    _sync(out)
+    dev_elapsed = max(time.perf_counter() - t0 - sync_cost, 1e-9)
     qps = suite.queries * suite.iters / dev_elapsed
 
     # recall@10: self-index must appear in the top-10 (exact search on
@@ -189,16 +236,22 @@ def run_search_suite(name: str, suite: SearchSuite) -> dict:
     )
     baseline_24rank = baseline_serial * SERIAL_SCALE_RANKS
 
+    # MFU: useful scan FLOPs (2 * rows * dim per query) over peak bf16.
+    peak = device_peak_flops()
+    flops = 2.0 * suite.rows * (suite.matryoshka_dim or suite.dim)
+    mfu = round(flops * qps / (peak * len(jax.devices())), 4) if peak else None
+
     return {
         "metric": f"{name}_qps",
         "value": round(qps, 2),
         "unit": "queries/sec",
         "vs_baseline": round(qps / baseline_24rank, 2),
         "recall_at_10": recall_at_10,
+        "mfu": mfu,
         "e2e_qps": round(e2e_qps, 2),
         "p50_batch_latency_s": round(p50_latency_s, 4),
         "device_batch_latency_s": round(dev_elapsed / suite.iters, 4),
-        "kernel": engine._resolve_kernel(k_eff),
+        "kernel": engine.kernel_name(suite.top_k),
         "rows": suite.rows,
         "dim": suite.dim,
         "batch": suite.queries,
@@ -267,10 +320,25 @@ def run_pipeline_suite(files: int = 512, dim: int = 768) -> dict:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
-def run_encode_suite(batch: int = 32, iters: int = 8,
+def encoder_forward_flops(cfg, batch: int, seq: int) -> float:
+    """Analytic forward FLOPs of the NomicBERT backbone (matmuls only):
+    per layer QKV + attention output projections (4 d^2 per token), QK^T and
+    AV (2 * 2 * S * d per token), and the SwiGLU MLP (fused fc1 emits
+    2*mlp_dim, fc2 reads mlp_dim -> 3 * d * mlp per token); 2 FLOP per MAC."""
+    d = cfg.hidden_size
+    per_token = cfg.num_layers * (
+        2 * (4 * d * d)            # qkv (3d^2) + attn out (d^2)
+        + 2 * (2 * seq * d)        # QK^T + AV
+        + 2 * (3 * d * cfg.mlp_dim)  # swiglu fc1 (2x) + fc2
+    )
+    return float(per_token) * batch * seq
+
+
+def run_encode_suite(batch: int = 256, iters: int = 8,
                      max_tokens: int = 512) -> dict:
     """Nomic forward throughput (random init — measures the compute path the
-    checkpoint weights would ride)."""
+    checkpoint weights would ride). ``batch`` defaults to the measured-best
+    serving config (B=256; B=32 runs ~30% slower per file on a v5e)."""
     import jax
 
     from ..models.nomic import NomicBertConfig, NomicEncoder
@@ -280,18 +348,32 @@ def run_encode_suite(batch: int = 32, iters: int = 8,
     rng = np.random.default_rng(0)
     ids = rng.integers(1, cfg.vocab_size, size=(batch, max_tokens)).astype(np.int32)
     mask = np.ones((batch, max_tokens), np.int32)
-    enc.encode_tokens(ids, mask)  # compile
+
+    def _sync(o) -> None:
+        np.asarray(jax.device_get(o[:1, :1]))
+
+    out = enc.encode_tokens_device(ids, mask)  # compile + warm
+    _sync(out)
+    t0 = time.perf_counter()
+    _sync(out)  # pure relay/readback latency on a computed buffer
+    sync_cost = time.perf_counter() - t0
+    # Device-resident throughput: pipelined dispatches, one forced readback.
     t0 = time.perf_counter()
     for _ in range(iters):
-        out = enc.encode_tokens(ids, mask)
-    elapsed = time.perf_counter() - t0
+        out = enc.encode_tokens_device(ids, mask)
+    _sync(out)
+    elapsed = max(time.perf_counter() - t0 - sync_cost, 1e-9)
+    peak = device_peak_flops()
+    flops = encoder_forward_flops(cfg, batch, max_tokens) * iters
     return {
         "metric": "encode_files_per_sec",
         "value": round(batch * iters / elapsed, 2),
         "unit": "files/sec",
         "vs_baseline": 0.0,
+        "mfu": round(flops / elapsed / peak, 4) if peak else None,
         "batch": batch,
         "max_tokens": max_tokens,
+        "attention_impl": cfg.attention_impl,
         "platform": jax.devices()[0].platform,
     }
 
@@ -303,6 +385,11 @@ def run_suite(name: str) -> dict:
         return run_pipeline_suite()
     if name == "encode":
         return run_encode_suite()
+    if name == "jabref":
+        from .jabref import run_jabref_suite
+
+        return run_jabref_suite()
     raise ValueError(
-        f"unknown suite {name!r}; available: {sorted(SUITES) + ['pipeline', 'encode']}"
+        f"unknown suite {name!r}; available: "
+        f"{sorted(SUITES) + ['pipeline', 'encode', 'jabref']}"
     )

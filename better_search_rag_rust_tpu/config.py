@@ -127,6 +127,10 @@ class SearchConfig:
     row_block: int = 128
     #: dtype the store shards are held in on device HBM.
     store_dtype: str = "bfloat16"
+    #: Per-device cap on the f32 similarity buffer of the dense kernel;
+    #: shards bigger than it are scanned in macro chunks with a running
+    #: top-k merge (q_tile stays wide — see ops.topk.global_topk).
+    sims_buffer_bytes: int = 2 * 1024 * 1024 * 1024
     #: Scores always accumulate in float32 on the MXU.
     #: Search strategy: "global" (dense two-stage block selection — one
     #: matmul + one top-k per query tile, the fastest exact path), "scan"
@@ -154,6 +158,11 @@ class PipelineConfig:
     #: Persist the shard store + progress marker every N batches during
     #: ingest (0 = only at the end, the reference's behavior).
     checkpoint_every_batches: int = 16
+    #: Let the merge publish a global store with missing/unreadable shards
+    #: (recorded in a ``global.parquet.partial`` marker). Default False:
+    #: a crashed ingest host fails the merge instead of silently shipping
+    #: an incomplete store.
+    allow_partial_merge: bool = False
 
     @staticmethod
     def from_env() -> "PipelineConfig":

@@ -21,15 +21,22 @@ from .utils.logging import host_log
 
 def maybe_init_distributed() -> bool:
     """Join the multi-host cluster when the env asks for it; no-op (False)
-    for single-host runs. Safe to call more than once."""
-    import jax
+    for single-host runs. Safe to call more than once.
 
-    if jax.process_count() > 1:  # already initialized by the platform
-        return True
+    Must run BEFORE anything touches the XLA backend, so the
+    already-initialized check inspects the distributed client directly
+    instead of calling ``jax.process_count()`` (which would initialize it).
+    """
+    import jax
+    from jax._src import distributed as _dist
+
+    if getattr(_dist.global_state, "client", None) is not None:
+        return True  # explicitly initialized earlier
     coord = os.environ.get("BSR_COORDINATOR")
     nproc = os.environ.get("BSR_NUM_PROCESSES")
     if not coord or not nproc:
-        return False
+        # No env contract: rely on platform auto-injection (GKE/GCE pods).
+        return jax.process_count() > 1
     pid = int(os.environ.get("BSR_PROCESS_ID", "0"))
     jax.distributed.initialize(
         coordinator_address=coord,

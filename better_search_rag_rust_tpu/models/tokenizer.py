@@ -40,10 +40,20 @@ def _check_batch(texts: Sequence[str]) -> None:
 
 
 class FixedLengthTokenizer:
-    """HF tokenizer with truncation + fixed right-padding to ``max_tokens``."""
+    """HF tokenizer with truncation + fixed right-padding to ``max_tokens``.
 
-    def __init__(self, tokenizer, max_tokens: int = 512):
+    ``add_special_tokens`` defaults to **False** for parity: the reference
+    encodes with ``encode_batch(texts, false)`` (src/llm/hf.rs:83), i.e. no
+    [CLS]/[SEP] — its embeddings are produced from the bare token stream.
+    Pass True for the checkpoint's canonical usage (nomic-embed expects
+    special tokens); the choice changes every embedding, so it is pinned
+    here rather than left to the backend default.
+    """
+
+    def __init__(self, tokenizer, max_tokens: int = 512,
+                 add_special_tokens: bool = False):
         self.max_tokens = max_tokens
+        self.add_special_tokens = add_special_tokens
         self._tok = tokenizer
         # stride=0 windows + overflow encodings power the long-document
         # multi-window mode (see encode_batch_windows).
@@ -53,10 +63,15 @@ class FixedLengthTokenizer:
         )
 
     @staticmethod
-    def from_file(path: str | Path, max_tokens: int = 512) -> "FixedLengthTokenizer":
+    def from_file(
+        path: str | Path, max_tokens: int = 512,
+        add_special_tokens: bool = False,
+    ) -> "FixedLengthTokenizer":
         from tokenizers import Tokenizer
 
-        return FixedLengthTokenizer(Tokenizer.from_file(str(path)), max_tokens)
+        return FixedLengthTokenizer(
+            Tokenizer.from_file(str(path)), max_tokens, add_special_tokens
+        )
 
     def encode_batch(
         self, texts: Sequence[str]
@@ -67,7 +82,9 @@ class FixedLengthTokenizer:
             z = np.zeros((0, self.max_tokens), dtype=np.int32)
             return z, z.copy()
         _check_batch(texts)
-        encs = self._tok.encode_batch(list(texts))
+        encs = self._tok.encode_batch(
+            list(texts), add_special_tokens=self.add_special_tokens
+        )
         ids = np.asarray([e.ids for e in encs], dtype=np.int32)
         mask = np.asarray([e.attention_mask for e in encs], dtype=np.int32)
         return ids, mask
@@ -84,7 +101,10 @@ class FixedLengthTokenizer:
             return z, z.copy(), np.zeros((0,), dtype=np.int64)
         _check_batch(texts)
         ids_rows, mask_rows, groups = [], [], []
-        for i, enc in enumerate(self._tok.encode_batch(list(texts))):
+        encs = self._tok.encode_batch(
+            list(texts), add_special_tokens=self.add_special_tokens
+        )
+        for i, enc in enumerate(encs):
             for window in [enc, *enc.overflowing]:
                 ids_rows.append(window.ids)
                 mask_rows.append(window.attention_mask)
@@ -174,6 +194,7 @@ def load_tokenizer(
     checkpoint_dir: Optional[str],
     max_tokens: int = 512,
     vocab_size: int = 30528,
+    add_special_tokens: bool = False,
 ):
     """``tokenizer.json`` under the checkpoint dir when available, else the
     hermetic hashing tokenizer — artifact-gated like the reference's model
@@ -181,5 +202,7 @@ def load_tokenizer(
     if checkpoint_dir:
         tok_file = Path(checkpoint_dir) / "tokenizer.json"
         if tok_file.exists():
-            return FixedLengthTokenizer.from_file(tok_file, max_tokens)
+            return FixedLengthTokenizer.from_file(
+                tok_file, max_tokens, add_special_tokens
+            )
     return HashingTokenizer(vocab_size=vocab_size, max_tokens=max_tokens)

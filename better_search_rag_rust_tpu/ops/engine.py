@@ -123,6 +123,43 @@ class SearchEngine:
         if pending is not None:
             yield self._collect(pending)
 
+    def prepare_device_queries(self, queries: np.ndarray) -> jax.Array:
+        """Host ``[Q, D]`` queries -> normalized f32 device array padded to
+        the store's padded dim — the exact input ``search_device`` wants."""
+        queries = self._prepare_queries(queries)
+        padded_dim = self.store.data.shape[1]
+        if padded_dim != queries.shape[1]:
+            padded = np.zeros((queries.shape[0], padded_dim), dtype=np.float32)
+            padded[:, : queries.shape[1]] = queries
+            queries = padded
+        return jax.device_put(jnp.asarray(queries))
+
+    def search_device(
+        self, queries: jax.Array, k: Optional[int] = None
+    ) -> Tuple[jax.Array, jax.Array]:
+        """Device-resident search: queries already in HBM (e.g. straight from
+        the encoder or :meth:`prepare_device_queries`), results stay on
+        device as ``(similarities [Q, k], ids [Q, k])``.
+
+        This is the serving hot path — no host transfer on either side, so
+        dispatches pipeline freely. Use :meth:`search` for the host-facing
+        ``(indices, distances)`` contract.
+        """
+        k_eff = self._resolve_k(k)
+        if queries.shape[1] != self.store.data.shape[1]:
+            raise ValueError(
+                f"device queries must be padded to {self.store.data.shape[1]}"
+                f" features (got {queries.shape[1]}); use"
+                " prepare_device_queries"
+            )
+        fn = self._get_fn(queries.shape[0], k_eff)
+        return fn(self.store.data, queries)
+
+    def kernel_name(self, k: Optional[int] = None) -> str:
+        """The kernel the engine will run for this ``k`` (public mirror of
+        the internal resolution, for reporting/benchmarks)."""
+        return self._resolve_kernel(self._resolve_k(k))
+
     def search_single(
         self, query: np.ndarray, k: Optional[int] = None
     ) -> list[tuple[int, float]]:
@@ -194,30 +231,40 @@ class SearchEngine:
     def _resolve_kernel(self, k_eff: int) -> str:
         kernel = self.config.kernel
         if kernel == "auto":
-            # Dense two-stage selection ("global") avoids the per-chunk merge
-            # entirely and is the fastest exact path whenever its f32
-            # similarity tile fits the memory budget (it tiles over queries,
-            # so it always does unless the per-device shard itself is huge).
-            # Fall back to the scanning kernels for enormous shards.
-            row_bytes = self.store.per_device_rows * 4
-            if row_bytes * min(256, max(8, 2**30 // max(row_bytes, 1))) <= 2**31:
-                # Fused Pallas scoring wins on real TPUs (~20% over the XLA
-                # matmul+reduce); interpret mode elsewhere would crawl.
-                kernel = "pallas" if jax.default_backend() == "tpu" else "global"
-            else:
-                n_blocks = max(1, self.store.chunk // 128)
-                kernel = "blockmax" if k_eff <= n_blocks else "scan"
+            # Dense two-stage selection with macro chunking handles any
+            # shard size at a bounded sims buffer, so it is always the
+            # fastest exact path. Fused Pallas scoring wins on real TPUs
+            # (~20% over the XLA matmul+reduce); interpret mode elsewhere
+            # would crawl.
+            kernel = "pallas" if jax.default_backend() == "tpu" else "global"
         return kernel
 
     def _q_tile(self, q: int) -> int:
-        """Query-tile width for the dense kernel: keep the f32 sims buffer
-        near ~2 GB, within [8, 512], and MXU-friendly. Measured on the 1M x
-        768 headline: 512 -> 27.1k q/s vs 264 -> 22.2k (fewer selection
-        rounds); wider tiles stop fitting the Pallas kernel's VMEM."""
-        row_bytes = self.store.per_device_rows * 4
-        t = max(8, min(512, (2**31) // max(row_bytes, 1)))
+        """Query-tile width for the dense kernel: 512 (measured best on the
+        1M x 768 headline: 512 -> 27.1k q/s vs 264 -> 22.2k), shrunk only
+        when the Pallas kernel's minimum row tile would not fit VMEM at this
+        feature dim (see topk_pallas._pick_row_tile). The f32 sims buffer is
+        bounded by macro chunking, NOT by shrinking this tile."""
+        t = 512
+        # Pallas VMEM budget at the smallest row tile (rt = 8 * block):
+        # 2*rt*dim*itemsize + 2*t*rt*4 + t*dim*itemsize <= 12 MB. Solve for t
+        # so an auto-resolved pallas kernel can never hit the no-tile error.
+        dim = self.store.data.shape[1]
+        itemsize = jnp.dtype(self.store.data.dtype).itemsize
+        rt = 8 * self.config.row_block
+        budget = 12 * 1024 * 1024 - 2 * rt * dim * itemsize
+        if budget > 0:
+            t = min(t, budget // (8 * rt + dim * itemsize))
         # round down to a multiple of 8 (f32 sublane)
         return max(8, min(q, (t // 8) * 8))
+
+    def _macro_rows(self, q_tile: int) -> int:
+        """Rows per macro chunk: bound the f32 sims buffer to
+        ``config.sims_buffer_bytes`` at this query tile."""
+        return max(
+            8 * self.config.row_block,
+            self.config.sims_buffer_bytes // (q_tile * 4),
+        )
 
     def _get_fn(self, q: int, k_eff: int):
         kernel = self._resolve_kernel(k_eff)
@@ -242,6 +289,7 @@ class SearchEngine:
                     shard, queries_cast, k_eff, base, num_rows, q_tile,
                     use_pallas=(kernel == "pallas"),
                     block=self.config.row_block,
+                    macro_rows=self._macro_rows(q_tile),
                 )
             return local_topk(
                 shard, queries_cast, k_eff, chunk, base, num_rows, kernel

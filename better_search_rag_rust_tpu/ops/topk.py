@@ -203,6 +203,117 @@ def _order_by_value_then_id(
 # ---------------------------------------------------------------------------
 
 
+def _select_blocks(block_max: jax.Array, kb: int) -> jax.Array:
+    """Top ``kb`` blocks of ``block_max [T, NB]`` by (max desc, block idx
+    asc) — the oracle's tie discipline.
+
+    Fast path: ``lax.approx_max_k(recall_target=1.0)`` (the TPU PartialReduce
+    lowering, measured ~3x faster than ``lax.top_k`` on [512, 7936]) with a
+    runtime certificate: ask for ``kp > kb`` candidates; if fewer than ``kp``
+    of them tie-or-beat the ``kb``-th value, then EVERY element >= that value
+    is inside the candidate set (a valid top-kp set cannot exclude an element
+    >= its own boundary while including one below it), so the exact top-kb by
+    (value desc, index asc) is computable from the candidates alone by a
+    two-key sort. Certificate failure (>= kp - kb boundary ties — degenerate
+    stores) falls back to exact ``lax.top_k`` via ``lax.cond``, so exactness
+    never depends on the approx op's recall.
+    """
+    nb = block_max.shape[1]
+    kp = min(nb, max(2 * kb, 128))
+    if kp >= nb // 2 or kb > 1024:
+        _, ids = jax.lax.top_k(block_max, kb)
+        return ids
+    av, ap = jax.lax.approx_max_k(block_max, kp, recall_target=1.0)
+    w = jax.lax.dynamic_slice_in_dim(av, kb - 1, 1, axis=1)
+    cert = jnp.all(jnp.sum((av >= w).astype(jnp.int32), axis=1) < kp)
+
+    def fast(_):
+        neg, ids = jax.lax.sort((-(av + 0.0), ap), num_keys=2)
+        return ids[:, :kb]
+
+    def exact(_):
+        return jax.lax.top_k(block_max, kb)[1]
+
+    return jax.lax.cond(cert, fast, exact, None)
+
+
+def _dense_chunk_topk(
+    shard_chunk: jax.Array,
+    q_block: jax.Array,
+    k: int,
+    gid_base,
+    valid_rows,
+    block: int,
+    use_pallas: bool,
+) -> Tuple[jax.Array, jax.Array]:
+    """Exact top-k of ``q_block [T, D]`` against one resident row chunk
+    ``[RC, D]``: one matmul (fused Pallas scoring when enabled), per-block
+    maxima, top-kb block selection, candidate gather, one final ``top_k``.
+
+    ``gid_base``: global row id of chunk row 0 (may be traced).
+    ``valid_rows``: valid row count within the chunk (may be traced); rows
+    beyond it score ``PAD_SIM`` and their candidate ids are INT32_MAX.
+    Returns ``(vals [T, k], gids [T, k])``, vals descending, ties by lowest
+    global row index.
+    """
+    rc, _d = shard_chunk.shape
+    t = q_block.shape[0]
+    nb = rc // block
+    kb = min(k, nb)
+    base_i32 = (
+        gid_base.astype(jnp.int32)
+        if hasattr(gid_base, "astype")
+        else jnp.int32(gid_base)
+    )
+    limit = jnp.asarray(valid_rows, dtype=jnp.int32)
+
+    if use_pallas:
+        # Fused MXU matmul + padding mask + VMEM block-max (the
+        # BASELINE.json north-star kernel, see .topk_pallas).
+        from .topk_pallas import default_interpret, matmul_blockmax
+
+        sims, bm_t = matmul_blockmax(
+            q_block, shard_chunk, limit, interpret=default_interpret(),
+            block=block,
+        )
+        block_max = bm_t.T  # kernel emits [blocks, T] (lane alignment)
+        sims3 = sims.reshape(t, nb, block)
+    else:
+        local_ids = jnp.arange(rc, dtype=jnp.int32)
+        sims = jnp.dot(
+            q_block, shard_chunk.T, preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )  # [T, RC] f32
+        sims = jnp.where((local_ids < limit)[None, :], sims, PAD_SIM)
+        sims3 = sims.reshape(t, nb, block)
+        block_max = jnp.max(sims3, axis=2)  # [T, NB]
+
+    block_ids = _select_blocks(block_max, kb)
+    block_ids = jnp.sort(block_ids, axis=1)  # ascending: oracle tie order
+    cand_vals = jnp.take_along_axis(
+        sims3, block_ids[:, :, None], axis=1
+    ).reshape(t, kb * block)
+    local_cand = (
+        block_ids[:, :, None] * block
+        + jnp.arange(block, dtype=jnp.int32)[None, None, :]
+    ).reshape(t, kb * block)
+    # Padded rows keep PAD_SIM scores, but their gids must not leak into the
+    # merged candidate stream looking valid: mark them unmistakably invalid.
+    cand_ids = jnp.where(
+        local_cand < limit, base_i32 + local_cand, jnp.iinfo(jnp.int32).max
+    )
+    if kb * block < k:  # tiny chunk: fewer rows than k — pad candidates
+        pad = k - kb * block
+        cand_vals = jnp.pad(cand_vals, ((0, 0), (0, pad)),
+                            constant_values=PAD_SIM)
+        cand_ids = jnp.pad(cand_ids, ((0, 0), (0, pad)),
+                           constant_values=jnp.iinfo(jnp.int32).max)
+    # top_k keeps the first occurrence among ties and the candidates are
+    # laid out index-ascending, so the oracle's tie order falls out free.
+    top_vals, pos = jax.lax.top_k(cand_vals, k)
+    return top_vals, jnp.take_along_axis(cand_ids, pos, axis=1)
+
+
 def global_topk(
     shard: jax.Array,
     queries_cast: jax.Array,
@@ -212,47 +323,72 @@ def global_topk(
     q_tile: int = 256,
     use_pallas: bool = False,
     block: int = BLOCK,
+    macro_rows: int = 4 * 1024 * 1024,
 ) -> Tuple[jax.Array, jax.Array]:
     """One device's exact top-k via dense two-stage block selection.
 
     Unlike :func:`local_topk` (a ``lax.scan`` of chunk matmuls with a top-k
-    merge per chunk), this computes the full ``[T, rows_local]`` similarity
-    tile in ONE matmul per query tile, reduces it to per-128-row block maxima,
-    selects the top ``min(k, n_blocks)`` blocks *once*, gathers only those
-    blocks' scores, and runs ONE final ``top_k`` — so the expensive selection
-    happens once per tile instead of once per chunk. Exactness argument is
-    identical to :func:`_merge_blockmax`; ties resolve to the lowest global
-    row index because blocks are gathered in ascending block order and
-    ``top_k`` keeps the first occurrence.
+    merge per chunk), this computes a ``[T, macro]`` similarity tile in ONE
+    matmul, reduces it to per-128-row block maxima, selects the top
+    ``min(k, n_blocks)`` blocks *once*, gathers only those blocks' scores,
+    and runs ONE final ``top_k``. Exactness argument is identical to
+    :func:`_merge_blockmax`; ties resolve to the lowest global row index
+    because blocks are gathered in ascending block order and ``top_k`` keeps
+    the first occurrence.
 
-    ``q_tile`` bounds the f32 similarity buffer (``q_tile * rows_local * 4``
-    bytes); tiles run under ``lax.map`` so peak memory stays flat while the
-    MXU matmul stays large.
+    ``q_tile`` bounds the f32 similarity buffer (``q_tile * macro * 4``
+    bytes); query tiles run under ``lax.map`` so peak memory stays flat
+    while the MXU matmul stays large.
+
+    ``macro_rows`` caps the rows scored per matmul: shards larger than that
+    are processed as a ``lax.scan`` over macro chunks with an O(k) running
+    merge, so the f32 sims buffer stays bounded WITHOUT shrinking the query
+    tile. (The round-1 design shrank ``q_tile`` instead — on a 10M-row
+    store that collapsed it to ~48 and re-streamed the 5 GB store ~21x per
+    query batch, the root cause of the 6% MFU measured there.)
     """
     if use_pallas and block % 128:
         # Mosaic cannot lane-tile a sub-128 block-max reshape (measured:
         # block=64 fails to compile); the XLA path handles any width.
         use_pallas = False
-    rows_valid, _d = shard.shape
-    # The Pallas kernel tiles rows in multiples of 8*block (the transposed
-    # block-max output needs an 8-aligned sublane dim), so pad further for
-    # it — padded rows are masked to PAD_SIM either way.
-    align = 8 * block if use_pallas else block
-    pad_r = (-rows_valid) % align
-    if pad_r:  # tiny shard: round rows up to a whole block
-        shard = jnp.pad(shard, ((0, pad_r), (0, 0)))
-    rows_local = rows_valid + pad_r
-    nb = rows_local // block
-    kb = min(k, nb)
+    rows_valid, d = shard.shape
     q = queries_cast.shape[0]
-    base_i32 = base.astype(jnp.int32) if hasattr(base, "astype") else jnp.int32(base)
-    local_ids = jnp.arange(rows_local, dtype=jnp.int32)
-    gids = base_i32 + local_ids
-    # Padding rows must lose both by global row count and by local block
-    # padding (a locally padded row's gid may collide with the next shard's).
-    valid = (gids < num_rows) & (local_ids < rows_valid)
-
     q_tile = max(1, min(q_tile, q))
+
+    def _layout(pallas: bool):
+        # The Pallas kernel tiles rows in multiples of 8*block (the
+        # transposed block-max output needs an 8-aligned sublane dim).
+        a = 8 * block if pallas else block
+        m = max(a, (macro_rows // a) * a)
+        n = max(1, -(-rows_valid // m))
+        if n == 1:
+            m = rows_valid + (-rows_valid) % a
+        return a, m, n
+
+    align, macro, n_chunks = _layout(use_pallas)
+    if use_pallas:
+        # Degrade to the XLA path instead of raising when no row tile fits
+        # the Pallas VMEM budget (huge dim x wide query tile); the engine
+        # sizes q_tile to avoid this, but direct callers may not.
+        from .topk_pallas import _pick_row_tile
+
+        try:
+            _pick_row_tile(
+                macro, d, q_tile, block, jnp.dtype(shard.dtype).itemsize
+            )
+        except ValueError:
+            use_pallas = False
+            align, macro, n_chunks = _layout(False)
+
+    pad_r = n_chunks * macro - rows_valid
+    if pad_r:
+        shard = jnp.pad(shard, ((0, pad_r), (0, 0)))
+
+    base_i32 = base.astype(jnp.int32) if hasattr(base, "astype") else jnp.int32(base)
+    # Rows past the shard's valid count OR past the global row count are
+    # padding (a locally padded row's gid may collide with the next shard's).
+    total_valid = jnp.minimum(jnp.int32(rows_valid), num_rows - base_i32)
+
     pad_q = (-q) % q_tile
     padded_queries = (
         jnp.concatenate(
@@ -265,49 +401,29 @@ def global_topk(
     tiles = padded_queries.reshape(n_tiles, q_tile, shard.shape[1])
 
     def tile_fn(q_block):
-        if use_pallas:
-            # Fused MXU matmul + padding mask + VMEM block-max (the
-            # BASELINE.json north-star kernel, see .topk_pallas).
-            from .topk_pallas import default_interpret, matmul_blockmax
-
-            limit = jnp.minimum(num_rows - base_i32, rows_valid)
-            sims, bm_t = matmul_blockmax(
-                q_block, shard, limit, interpret=default_interpret(),
-                block=block,
+        if n_chunks == 1:
+            return _dense_chunk_topk(
+                shard, q_block, k, base_i32, total_valid, block, use_pallas
             )
-            block_max = bm_t.T  # kernel emits [blocks, T] (lane alignment)
-            sims3 = sims.reshape(q_tile, nb, block)
-        else:
-            sims = jnp.dot(
-                q_block, shard.T, preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST,
-            )  # [T, rows_local] f32
-            sims = jnp.where(valid[None, :], sims, PAD_SIM)
-            sims3 = sims.reshape(q_tile, nb, block)
-            block_max = jnp.max(sims3, axis=2)  # [T, NB]
-        # Plain top_k measured faster here than the verified-ApproxTopK fast
-        # path (see verified_topk docstring): the lax.cond + set-proof passes
-        # cost more than they save once embedded in this fused program.
-        _, block_ids = jax.lax.top_k(block_max, kb)
-        block_ids = jnp.sort(block_ids, axis=1)  # ascending: oracle tie order
-        cand_vals = jnp.take_along_axis(
-            sims3, block_ids[:, :, None], axis=1
-        ).reshape(q_tile, kb * block)
-        cand_ids = (
-            base_i32
-            + block_ids[:, :, None] * block
-            + jnp.arange(block, dtype=jnp.int32)[None, None, :]
-        ).reshape(q_tile, kb * block)
-        if kb * block < k:  # tiny shard: fewer rows than k — pad candidates
-            pad = k - kb * block
-            cand_vals = jnp.pad(cand_vals, ((0, 0), (0, pad)),
-                                constant_values=PAD_SIM)
-            cand_ids = jnp.pad(cand_ids, ((0, 0), (0, pad)),
-                               constant_values=jnp.iinfo(jnp.int32).max)
-        # top_k keeps the first occurrence among ties and the candidates are
-        # laid out index-ascending, so the oracle's tie order falls out free.
-        top_vals, pos = jax.lax.top_k(cand_vals, k)
-        return top_vals, jnp.take_along_axis(cand_ids, pos, axis=1)
+        chunked = shard.reshape(n_chunks, macro, shard.shape[1])
+        offsets = jnp.arange(n_chunks, dtype=jnp.int32) * macro
+
+        def body(carry, xs):
+            chunk, off = xs
+            v, i = _dense_chunk_topk(
+                chunk, q_block, k, base_i32 + off,
+                jnp.clip(total_valid - off, 0, macro), block, use_pallas,
+            )
+            # Carry first: earlier chunks hold lower gids, so top_k's
+            # first-occurrence rule keeps the oracle's tie order.
+            return merge_topk(carry[0], carry[1], v, i, k), None
+
+        init = (
+            jnp.full((q_tile, k), PAD_SIM, dtype=jnp.float32),
+            jnp.full((q_tile, k), jnp.iinfo(jnp.int32).max, dtype=jnp.int32),
+        )
+        (vals, ids), _ = jax.lax.scan(body, init, (chunked, offsets))
+        return vals, ids
 
     vals, ids = jax.lax.map(tile_fn, tiles)
     vals = vals.reshape(n_tiles * q_tile, k)[:q]

@@ -290,34 +290,46 @@ class Pipeline:
         # shards from slower hosts.
         _host_barrier("pre-merge")
         count = 0
-        if proc == 0:
-            import json
+        try:
+            if proc == 0:
+                count = self._merge_host0(num_shards)
+        finally:
+            # Host 0 must reach this barrier even when the merge fails
+            # (missing shard) — otherwise every other host hangs.
+            _host_barrier("merge")  # ≙ main.rs:107
+        return count
 
-            timer = self.bench.start("vector_store_merge")
-            merged = merge_vector_stores(num_shards, self.config.store.dir)
-            merged.persist()
-            count = merged.count
-            # Merge per-shard row->path manifests in the same shard order the
-            # embeddings merged in, keeping global indices aligned.
-            from .store.vectorstore import local_store_path, manifest_path
+    def _merge_host0(self, num_shards: int) -> int:
+        import json
 
-            all_paths: List[str] = []
-            have_all = True
-            for s_idx in range(num_shards):
-                pf = local_store_path(self.config.store.dir, s_idx).with_suffix(
-                    ".paths.json"
-                )
-                if pf.exists():
-                    all_paths.extend(json.loads(pf.read_text()))
-                else:
-                    have_all = False
-            if have_all and len(all_paths) == count:
-                manifest_path(self.config.store.dir).write_text(
-                    json.dumps(all_paths)
-                )
-            self.bench.record(timer.stop(items_processed=count))
-            host_log(f"merged {num_shards} shards -> {count} vectors")
-        _host_barrier("merge")  # ≙ main.rs:107
+        timer = self.bench.start("vector_store_merge")
+        merged = merge_vector_stores(
+            num_shards,
+            self.config.store.dir,
+            allow_partial=self.config.allow_partial_merge,
+        )
+        merged.persist()
+        count = merged.count
+        # Merge per-shard row->path manifests in the same shard order the
+        # embeddings merged in, keeping global indices aligned.
+        from .store.vectorstore import local_store_path, manifest_path
+
+        all_paths: List[str] = []
+        have_all = True
+        for s_idx in range(num_shards):
+            pf = local_store_path(self.config.store.dir, s_idx).with_suffix(
+                ".paths.json"
+            )
+            if pf.exists():
+                all_paths.extend(json.loads(pf.read_text()))
+            else:
+                have_all = False
+        if have_all and len(all_paths) == count:
+            manifest_path(self.config.store.dir).write_text(
+                json.dumps(all_paths)
+            )
+        self.bench.record(timer.stop(items_processed=count))
+        host_log(f"merged {num_shards} shards -> {count} vectors")
         return count
 
     # -- phase 2: device store + search -----------------------------------------
@@ -356,6 +368,17 @@ class Pipeline:
                         raise ValueError(
                             f"snapshot dtype {meta.get('dtype')} != requested {want}"
                         )
+                    # mtimes alone can lie (a Parquet restored from backup
+                    # keeps its old mtime): verify the recorded source
+                    # identity against the file actually on disk.
+                    src = meta.get("source") or {}
+                    rows_now = parquet_row_count(path)
+                    size_now = path.stat().st_size
+                    if src.get("rows") != rows_now or src.get("bytes") != size_now:
+                        raise ValueError(
+                            f"snapshot source {src} != parquet on disk "
+                            f"(rows={rows_now}, bytes={size_now})"
+                        )
                     store = load_device_store(snap_dir, self.mesh)
                     host_log(f"device store restored from snapshot {snap_dir}")
                     return store
@@ -376,7 +399,14 @@ class Pipeline:
         if cfg.store.use_snapshot:
             from .store.device_cache import save_device_store
 
-            save_device_store(snap_dir, store)
+            save_device_store(
+                snap_dir,
+                store,
+                source={
+                    "rows": parquet_row_count(path),
+                    "bytes": path.stat().st_size,
+                },
+            )
             host_log(f"device store snapshot written to {snap_dir}")
         return store
 
@@ -442,7 +472,14 @@ class Pipeline:
         proc, _ = _process_info()
         stats = IngestStats()
         if proc != 0:
-            _host_barrier("update")
+            try:
+                _host_barrier("update")
+            finally:
+                # Host 0 may have appended rows: this host's cached engine
+                # (and its device store) is stale the moment the barrier
+                # releases. Reload lazily on next use so every host serves
+                # the same store version.
+                self._engine = None
             return stats
 
         # Host 0 must reach the barrier even on failure — otherwise every
@@ -496,10 +533,10 @@ class Pipeline:
                 f"update: appended {stats.embeddings} embeddings "
                 f"({stats.files_skipped} skipped)"
             )
-            self._engine = None  # stale device store: force a reload
             return stats
         finally:
             _host_barrier("update")
+            self._engine = None  # stale device store: force a reload
 
     def evaluate(
         self, num_queries: int = 64, k: Optional[int] = None

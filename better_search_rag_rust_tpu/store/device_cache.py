@@ -27,8 +27,17 @@ _META = "device_store.json"
 _ARRAY = "data"
 
 
-def save_device_store(cache_dir: str | os.PathLike, store: DeviceStore) -> None:
-    """Snapshot a built :class:`DeviceStore` (array + layout metadata)."""
+def save_device_store(
+    cache_dir: str | os.PathLike,
+    store: DeviceStore,
+    source: Optional[dict] = None,
+) -> None:
+    """Snapshot a built :class:`DeviceStore` (array + layout metadata).
+
+    ``source``: identity of the Parquet file this snapshot was built from
+    (e.g. ``{"rows": N, "bytes": sz}``) — recorded so loaders can verify the
+    snapshot still matches the store on disk instead of trusting mtimes
+    (a restored-from-backup Parquet can carry an older mtime)."""
     cache_dir = Path(cache_dir).absolute()
     cache_dir.mkdir(parents=True, exist_ok=True)
     ckpt = _checkpointer()
@@ -47,6 +56,7 @@ def save_device_store(cache_dir: str | os.PathLike, store: DeviceStore) -> None:
         "dtype": str(store.data.dtype),
         "shape": list(store.data.shape),
         "data_shards": int(store.mesh.shape["data"]),
+        "source": source,
     }
     tmp = cache_dir / f"{_META}.{os.getpid()}.tmp"
     tmp.write_text(json.dumps(meta))

@@ -39,6 +39,18 @@ from ..parallel.partition import pad_to_multiple
 LANE = 128
 
 
+def check_row_capacity(padded_rows: int) -> None:
+    """Global row ids travel through the kernels as int32 (ops/topk.py
+    computes gid = base + local index in int32); refuse stores whose padded
+    row space would overflow that rather than silently wrapping at scale."""
+    if padded_rows >= 2**31:
+        raise ValueError(
+            f"store has {padded_rows} padded rows, which overflows the int32 "
+            "global row-id space (max 2**31 - 1); shard across more hosts "
+            "or split the store"
+        )
+
+
 def _choose_chunk(per_device_target: int, chunk_rows: int) -> int:
     """Scan-chunk size: at most ``chunk_rows``, at least one 128-row tile,
     and small stores collapse to a single chunk."""
@@ -67,6 +79,9 @@ class DeviceStore:
     chunk: int  #: scan chunk; divides per_device_rows
     #: Original embedding dim when rows were Matryoshka-truncated, else None.
     matryoshka_from: Optional[int] = None
+
+    def __post_init__(self) -> None:
+        check_row_capacity(int(self.data.shape[0]))
 
     @staticmethod
     def from_host(

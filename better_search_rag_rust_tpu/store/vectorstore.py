@@ -26,6 +26,7 @@ Implementation notes (TPU-first deviations):
 
 from __future__ import annotations
 
+import json
 import os
 from pathlib import Path
 from typing import List, Optional, Sequence, Tuple
@@ -324,29 +325,63 @@ def read_matrix_slice(
     return np.ascontiguousarray(out)
 
 
+def partial_merge_marker(store_dir: str | os.PathLike) -> Path:
+    """Marker written next to global.parquet when an allow-partial merge
+    skipped shards — serving layers can refuse or warn on it."""
+    return Path(store_dir) / "global.parquet.partial"
+
+
 def merge_vector_stores(
-    num_shards: int, store_dir: str | os.PathLike
+    num_shards: int,
+    store_dir: str | os.PathLike,
+    allow_partial: bool = False,
 ) -> ParquetVectorStore:
     """Merge per-shard stores into the global store **in shard order** — the
     fixed order keeps local→global index translation valid
-    (reference: src/mpi_helpers/tasks.rs:181-217). Empty or unreadable shards
-    are logged and skipped (tasks.rs:202-212). Caller persists."""
+    (reference: src/mpi_helpers/tasks.rs:181-217).
+
+    A MISSING or unreadable shard file means an ingest host crashed before
+    persisting; merging past it would silently publish an incomplete global
+    store (the reference does exactly that, tasks.rs:202-212 — a one-line log
+    is the only trace). Here that is an error unless ``allow_partial=True``,
+    in which case the skipped shards are recorded in a
+    ``global.parquet.partial`` marker beside the store. Present-but-empty
+    shards are legitimate (a host can be assigned zero files) and merge as
+    zero rows. Caller persists."""
     merged = global_store(store_dir, empty=True)
+    skipped: list = []
     for shard in range(num_shards):
         path = local_store_path(store_dir, shard)
         if not path.exists():
-            # Distinct from "present but empty": do NOT fabricate an empty
-            # shard file — a crashed ingest host must stay visible as
-            # missing, not become settled-as-empty on disk.
+            # Distinct from "present but empty": a crashed ingest host must
+            # stay visible as missing, not become settled-as-empty on disk.
+            if not allow_partial:
+                raise FileNotFoundError(
+                    f"merge: shard {shard} missing ({path}); re-run its "
+                    "ingest or pass allow_partial=True to publish an "
+                    "explicitly partial store"
+                )
             host_log(f"merge: shard {shard} MISSING ({path}), skipping")
+            skipped.append(shard)
             continue
         try:
             shard_store = ParquetVectorStore(path, empty=False)
-        except Exception as exc:  # unreadable shard: log and continue
-            host_log(f"merge: skipping shard {shard} ({path}): {exc}")
+        except Exception as exc:
+            if not allow_partial:
+                raise RuntimeError(
+                    f"merge: shard {shard} unreadable ({path}): {exc}"
+                ) from exc
+            host_log(f"merge: skipping unreadable shard {shard} ({path}): {exc}")
+            skipped.append(shard)
             continue
         if shard_store.count == 0:
             host_log(f"merge: shard {shard} is empty, skipping")
             continue
         merged.append_many(shard_store.get_many(None))
+    marker = partial_merge_marker(store_dir)
+    if skipped:
+        marker.parent.mkdir(parents=True, exist_ok=True)
+        marker.write_text(json.dumps({"skipped_shards": skipped}))
+    elif marker.exists():
+        marker.unlink()
     return merged

@@ -252,3 +252,77 @@ def test_pallas_kernel_odd_chunk_rows(mesh8):
     ids, dists = engine.search(queries, k=7)
     o_ids, o_dists = engine.oracle_topk(queries, k=7)
     np.testing.assert_array_equal(ids, o_ids)
+
+
+def test_macro_chunk_scan_exact(mesh8):
+    """Shards larger than the sims-buffer budget scan in macro chunks with a
+    running merge; result must stay oracle-exact (incl. duplicates crossing
+    chunk boundaries) on both the XLA and the Pallas scoring path."""
+    rng = np.random.default_rng(70)
+    mat = rng.standard_normal((6000, 32)).astype(np.float32)
+    mat[4000] = mat[10]  # duplicate pair straddling macro chunks
+    mat[5500:5510] = mat[100]  # tie cluster in the last chunk
+    queries = mat[rng.integers(0, 6000, 16)]
+    for kernel in ("global", "pallas"):
+        store = DeviceStore.from_host(mat, mesh8, dtype="float32",
+                                      chunk_rows=256)
+        # per-device rows = 768; budget forces >= 3 macro chunks per device
+        engine = SearchEngine(
+            store,
+            SearchConfig(kernel=kernel, sims_buffer_bytes=256 * 512 * 4),
+        )
+        ids, dists = engine.search(queries, k=17)
+        o_ids, o_dists = engine.oracle_topk(queries, k=17)
+        np.testing.assert_array_equal(ids, o_ids)
+        np.testing.assert_allclose(dists, o_dists, atol=1e-7)
+
+
+def test_select_blocks_approx_certificate_matches_exact():
+    """_select_blocks' approx fast path must return exactly lax.top_k's
+    block ids (value desc, index asc ties), and its certificate must route
+    heavy-tie inputs through the exact fallback."""
+    import jax
+    import jax.numpy as jnp
+
+    from better_search_rag_rust_tpu.ops.topk import _select_blocks
+
+    rng = np.random.default_rng(71)
+    # 1024 blocks, kb=20 -> kp=128 < nb//2: approx path taken
+    bm = rng.standard_normal((8, 1024)).astype(np.float32)
+    bm[:, 500:520] = bm[:, 100:120]  # duplicated maxima across blocks
+    got = np.asarray(_select_blocks(jnp.asarray(bm), 20))
+    want = np.asarray(jax.lax.top_k(jnp.asarray(bm), 20)[1])
+    np.testing.assert_array_equal(np.sort(got, 1), np.sort(want, 1))
+
+    # all-equal maxima: certificate must fail -> exact fallback, still right
+    bm_t = np.ones((4, 1024), np.float32)
+    got_t = np.asarray(_select_blocks(jnp.asarray(bm_t), 20))
+    np.testing.assert_array_equal(np.sort(got_t, 1),
+                                  np.arange(20)[None, :].repeat(4, 0))
+
+
+def test_row_capacity_guard():
+    """Stores whose padded rows would overflow int32 global row ids must be
+    refused loudly (ops/topk.py computes gid = base + local idx as int32)."""
+    import pytest
+
+    from better_search_rag_rust_tpu.store.device_store import (
+        check_row_capacity,
+    )
+
+    check_row_capacity(2**31 - 1)  # max addressable: fine
+    with pytest.raises(ValueError, match="int32"):
+        check_row_capacity(2**31)
+
+
+def test_k_exceeds_rows_on_pallas_macro_path(mesh8):
+    """k larger than a macro chunk's rows (and than some shards' rows) must
+    pad candidates, never crash, and stay oracle-exact."""
+    mat = mock_embeddings(300, dim=32, seed=72)
+    store = DeviceStore.from_host(mat, mesh8, dtype="float32", chunk_rows=128)
+    engine = SearchEngine(
+        store, SearchConfig(kernel="pallas", sims_buffer_bytes=128 * 512 * 4)
+    )
+    ids, dists = engine.search(mat[:4], k=250)  # k > per-device rows
+    o_ids, o_dists = engine.oracle_topk(mat[:4], k=250)
+    np.testing.assert_array_equal(ids, o_ids)

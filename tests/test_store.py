@@ -113,14 +113,28 @@ def test_merge_in_shard_order(tmp_path):
 
 
 def test_merge_skips_empty_and_missing_shards(tmp_path):
-    # reference: tasks.rs:202-212 — skip-and-log, never fail
+    # Present-but-empty shards merge as zero rows; a MISSING shard means a
+    # crashed ingest host and fails the merge unless explicitly allowed
+    # (tightened vs the reference's skip-and-log, tasks.rs:202-212).
+    import pytest
+
+    from better_search_rag_rust_tpu.store.vectorstore import partial_merge_marker
+
     st = local_store(tmp_path, 0)
     st.append_many(mock_embeddings(2, dim=8, seed=1))
     st.persist()
     empty = local_store(tmp_path, 1)
     empty.persist()  # shard 1 empty, shard 2 missing entirely
-    merged = merge_vector_stores(3, tmp_path)
+    with pytest.raises(FileNotFoundError):
+        merge_vector_stores(3, tmp_path)
+    merged = merge_vector_stores(3, tmp_path, allow_partial=True)
     assert merged.count == 2
+    assert partial_merge_marker(tmp_path).exists()
+    # A subsequent complete merge clears the marker.
+    st2 = local_store(tmp_path, 2)
+    st2.persist()
+    merge_vector_stores(3, tmp_path)
+    assert not partial_merge_marker(tmp_path).exists()
 
 
 def test_persisted_file_readable_by_pyarrow(tmp_path):
@@ -148,7 +162,7 @@ def test_merge_does_not_fabricate_missing_shards(tmp_path):
     st.append_many(mock_embeddings(4, 16, seed=1))
     st.persist()
     # shard 1 missing entirely
-    merged = merge_vector_stores(2, tmp_path)
+    merged = merge_vector_stores(2, tmp_path, allow_partial=True)
     assert merged.count == 4
     assert not local_store_path(tmp_path, 1).exists()
 
