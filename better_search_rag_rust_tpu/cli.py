@@ -84,6 +84,10 @@ def _add_common(p: argparse.ArgumentParser) -> None:
     p.add_argument("--profile-dir", default=None, metavar="DIR",
                    help="capture a jax.profiler device trace of the run "
                         "(view in TensorBoard/Perfetto)")
+    p.add_argument("--speedup-baseline", action="store_true",
+                   help="also measure a sequential NumPy scan and print "
+                        "speedup in the benchmark report (reference: "
+                        "benchmark.rs:361-416; pulls the store to the host)")
 
 
 def _config_from_args(args, skip_process: bool) -> PipelineConfig:
@@ -118,6 +122,7 @@ def _config_from_args(args, skip_process: bool) -> PipelineConfig:
             kernel=args.search_kernel,
         ),
         skip_process=skip_process,
+        measure_serial_baseline=getattr(args, "speedup_baseline", False),
     )
 
 

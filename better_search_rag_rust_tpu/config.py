@@ -130,7 +130,9 @@ class SearchConfig:
     #: Per-device cap on the f32 similarity buffer of the dense kernel;
     #: shards bigger than it are scanned in macro chunks with a running
     #: top-k merge (q_tile stays wide — see ops.topk.global_topk).
-    sims_buffer_bytes: int = 2 * 1024 * 1024 * 1024
+    #: 0 = auto: fill free HBM minus 2 GB headroom (fewer chunks = fewer
+    #: per-chunk candidate gathers, the dominant selection cost at scale).
+    sims_buffer_bytes: int = 0
     #: Scores always accumulate in float32 on the MXU.
     #: Search strategy: "global" (dense two-stage block selection — one
     #: matmul + one top-k per query tile, the fastest exact path), "scan"
@@ -158,6 +160,12 @@ class PipelineConfig:
     #: Persist the shard store + progress marker every N batches during
     #: ingest (0 = only at the end, the reference's behavior).
     checkpoint_every_batches: int = 16
+    #: Measure a sequential NumPy scan of the same search inside the driver
+    #: and feed it to the benchmark report's speedup hook (reference:
+    #: src/mpi_helpers/benchmark.rs:361-416 prints "speedup Nx" only when
+    #: sequential times are supplied). Off by default: it pulls the store
+    #: to the host, which is costly for multi-GB stores.
+    measure_serial_baseline: bool = False
     #: Let the merge publish a global store with missing/unreadable shards
     #: (recorded in a ``global.parquet.partial`` marker). Default False:
     #: a crashed ingest host fails the merge instead of silently shipping

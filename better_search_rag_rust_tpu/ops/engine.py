@@ -239,31 +239,105 @@ class SearchEngine:
             kernel = "pallas" if jax.default_backend() == "tpu" else "global"
         return kernel
 
-    def _q_tile(self, q: int) -> int:
-        """Query-tile width for the dense kernel: 512 (measured best on the
-        1M x 768 headline: 512 -> 27.1k q/s vs 264 -> 22.2k), shrunk only
-        when the Pallas kernel's minimum row tile would not fit VMEM at this
-        feature dim (see topk_pallas._pick_row_tile). The f32 sims buffer is
-        bounded by macro chunking, NOT by shrinking this tile."""
-        t = 512
-        # Pallas VMEM budget at the smallest row tile (rt = 8 * block):
-        # 2*rt*dim*itemsize + 2*t*rt*4 + t*dim*itemsize <= 12 MB. Solve for t
-        # so an auto-resolved pallas kernel can never hit the no-tile error.
+    def _vmem_q_cap(self) -> int:
+        """Largest query tile for which the Pallas kernel's smallest row
+        tile (rt = 8 * block) still fits the ~12 MB VMEM budget at this
+        feature dim: 2*rt*dim*itemsize + 2*t*rt*4 + t*dim*itemsize <= 12 MB,
+        so an auto-resolved pallas kernel can never hit the no-tile error."""
         dim = self.store.data.shape[1]
         itemsize = jnp.dtype(self.store.data.dtype).itemsize
         rt = 8 * self.config.row_block
         budget = 12 * 1024 * 1024 - 2 * rt * dim * itemsize
-        if budget > 0:
-            t = min(t, budget // (8 * rt + dim * itemsize))
-        # round down to a multiple of 8 (f32 sublane)
-        return max(8, min(q, (t // 8) * 8))
+        if budget <= 0:
+            return 8
+        return max(8, budget // (8 * rt + dim * itemsize))
+
+    def _plan(self, q: int, k_eff: int) -> Tuple[int, int]:
+        """Jointly pick (q_tile, macro_rows) from a measured cost model.
+
+        Store reads scale with the number of query tiles (each tile
+        re-streams the shard); candidate-gather cost is slice-bound at
+        ~130 ns per (query, block) dynamic slice and scales with the number
+        of macro chunks (n_chunks ~ q_tile * rows * 4 / sims budget) — so
+        wide tiles suit big-dim stores that fit one chunk (1M x 768 ->
+        T=512) and narrower tiles suit huge stores where chunk count
+        dominates (10M x 256 -> T=256). Constants are v5e measurements
+        (~700 GB/s effective HBM, ~130 ns/slice, ~5.7 us/query final
+        top_k); exactness never depends on this choice.
+        """
+        rows = self.store.per_device_rows
+        dim = self.store.data.shape[1]
+        itemsize = jnp.dtype(self.store.data.dtype).itemsize
+        budget = self._sims_budget()
+        cap = min(q, self._vmem_q_cap())
+        align = 8 * self.config.row_block
+
+        best = None
+        for t in (128, 256, 512, 1024):
+            t_eff = max(8, min(t, (cap // 8) * 8))
+            n_tiles = -(-q // t_eff)
+            n_chunks = max(1, -(-(t_eff * rows * 4) // budget))
+            macro = -(-rows // n_chunks)
+            macro = macro + (-macro) % align
+            store_cost = n_tiles * rows * dim * itemsize / 700e9
+            sims_cost = q * rows * 4 / 700e9
+            slice_cost = q * k_eff * n_chunks * 130e-9
+            final_cost = q * n_chunks * 5.7e-6
+            cost = store_cost + sims_cost + slice_cost + final_cost
+            if best is None or cost < best[0]:
+                best = (cost, t_eff, macro)
+            if t_eff < t:  # cap reached; larger t won't differ
+                break
+        return best[1], best[2]
+
+    def _sims_budget(self) -> int:
+        """f32 sims-buffer budget in bytes. ``config.sims_buffer_bytes`` when
+        positive; otherwise sized from free HBM with 2 GB headroom. The
+        budget directly sets the macro-chunk count, and the per-chunk
+        selection cost is slice-bound (~Q * k * n_chunks dynamic-slice
+        gathers), so a bigger buffer is strictly better until HBM runs out —
+        measured on the 10M suite: 10 chunks -> 2.6k q/s, 3 chunks -> ~8k."""
+        b = self.config.sims_buffer_bytes
+        if b > 0:
+            return b
+        free = 0
+        try:
+            stats = jax.local_devices()[0].memory_stats() or {}
+            free = stats.get("bytes_limit", 0) - stats.get("bytes_in_use", 0)
+        except Exception:
+            pass
+        if free <= 0:
+            # memory_stats is empty on some PJRT transports (e.g. the
+            # relayed test chip): size from the device kind instead, minus
+            # what the store itself occupies per device.
+            hbm = {"TPU v5 lite": 16, "TPU v5e": 16, "TPU v4": 32,
+                   "TPU v5": 95, "TPU v6 lite": 32, "TPU v6e": 32}
+            kind = getattr(jax.local_devices()[0], "device_kind", "")
+            total = 0
+            for name, gb in sorted(hbm.items(), key=lambda kv: -len(kv[0])):
+                if kind.lower().startswith(name.lower()):
+                    total = gb << 30
+                    break
+            if total:
+                store_bytes = (
+                    self.store.per_device_rows
+                    * self.store.data.shape[1]
+                    * jnp.dtype(self.store.data.dtype).itemsize
+                )
+                free = total - store_bytes
+        if free > 0:
+            # Cap at 4 GB: measured on the 10M x 256 config, macro chunks
+            # beyond ~3.3M rows make the candidate gather's per-slice cost
+            # grow (~130 ns/slice at NB=8k blocks -> ~414 ns at NB=26k), so
+            # an 8 GB buffer (fewer, bigger chunks) ran SLOWER than 4 GB.
+            return int(min(4 << 30, max(1 << 30, free - (2 << 30))))
+        return 2 << 30
 
     def _macro_rows(self, q_tile: int) -> int:
-        """Rows per macro chunk: bound the f32 sims buffer to
-        ``config.sims_buffer_bytes`` at this query tile."""
+        """Rows per macro chunk: bound the f32 sims buffer at this tile."""
         return max(
             8 * self.config.row_block,
-            self.config.sims_buffer_bytes // (q_tile * 4),
+            self._sims_budget() // (q_tile * 4),
         )
 
     def _get_fn(self, q: int, k_eff: int):
@@ -280,7 +354,7 @@ class SearchEngine:
         num_rows = store.num_rows
         store_dtype = store.data.dtype
 
-        q_tile = self._q_tile(q)
+        q_tile, macro_rows = self._plan(q, k_eff)
 
         def shard_fn(shard, queries_cast):
             base = jax.lax.axis_index(DATA_AXIS) * per_dev
@@ -289,7 +363,7 @@ class SearchEngine:
                     shard, queries_cast, k_eff, base, num_rows, q_tile,
                     use_pallas=(kernel == "pallas"),
                     block=self.config.row_block,
-                    macro_rows=self._macro_rows(q_tile),
+                    macro_rows=macro_rows,
                 )
             return local_topk(
                 shard, queries_cast, k_eff, chunk, base, num_rows, kernel

@@ -145,60 +145,6 @@ def _merge_blockmax(
 
 
 # ---------------------------------------------------------------------------
-# Verified fast selection
-# ---------------------------------------------------------------------------
-
-
-def verified_topk(vals: jax.Array, k: int) -> Tuple[jax.Array, jax.Array]:
-    """Exact ``top_k`` with an ApproxTopK fast path.
-
-    ``lax.approx_max_k(recall_target=1.0)`` lowers to the TPU's PartialReduce
-    path and is ~2x faster than ``lax.top_k``, but it makes no tie-order
-    promise. This wrapper keeps exactness with a runtime proof:
-
-    let tau = min(returned values). The returned k positions are distinct and
-    all have value >= tau, so **if exactly k elements of the row satisfy
-    ``vals >= tau``, the returned set IS the unique exact top-k set** —
-    regardless of how the approximate pass ordered or chose among ties. Any
-    boundary ambiguity (duplicates straddling the k-th value, or an actual
-    miss, which would drag tau below the true k-th value) makes the count
-    exceed k and routes the whole batch through exact ``lax.top_k`` instead.
-
-    Returned values are sorted descending; among equal values the *set* is
-    exact but the order is not — callers that need the oracle's
-    ties-by-lowest-index order must reorder (:func:`_order_by_value_then_id`).
-
-    Status: available but NOT used in the hot path. Standalone, ApproxTopK at
-    recall_target=1.0 measured ~2x faster than ``lax.top_k`` on a v5e
-    ([Q=1024, 7936] f32, k=100), but integrated into :func:`global_topk` the
-    cond + set-proof passes made the end-to-end search ~10% slower (50.8 vs
-    45.6 ms on the 1M x 768 headline), so the integrated kernel keeps plain
-    ``top_k``.
-    """
-    if k >= vals.shape[1]:
-        return tuple(jax.lax.top_k(vals, k))
-    avals, apos = jax.lax.approx_max_k(vals, k, recall_target=1.0)
-    tau = avals[:, -1:]
-    set_exact = jnp.sum((vals >= tau).astype(jnp.int32), axis=1) == k
-    return jax.lax.cond(
-        jnp.all(set_exact),
-        lambda: (avals, apos),
-        lambda: tuple(jax.lax.top_k(vals, k)),
-    )
-
-
-def _order_by_value_then_id(
-    vals: jax.Array, ids: jax.Array, k: int
-) -> Tuple[jax.Array, jax.Array]:
-    """Sort ``[Q, k]`` candidates by (value desc, id asc) — the oracle's
-    order. O(k log k) on tiny rows, so cost is negligible."""
-    # +0.0 canonicalizes -0.0 so lax.sort's total order (-0 < +0) cannot
-    # split numerically-equal zeros across the id tie-break.
-    neg, ids_sorted = jax.lax.sort((-(vals + 0.0), ids), num_keys=2)
-    return -neg, ids_sorted
-
-
-# ---------------------------------------------------------------------------
 # Dense two-stage selection (no scan)
 # ---------------------------------------------------------------------------
 
@@ -355,17 +301,16 @@ def global_topk(
     q = queries_cast.shape[0]
     q_tile = max(1, min(q_tile, q))
 
+    # The Pallas kernel tiles rows in multiples of 8*block (the transposed
+    # block-max output needs an 8-aligned sublane dim).
     def _layout(pallas: bool):
-        # The Pallas kernel tiles rows in multiples of 8*block (the
-        # transposed block-max output needs an 8-aligned sublane dim).
         a = 8 * block if pallas else block
-        m = max(a, (macro_rows // a) * a)
-        n = max(1, -(-rows_valid // m))
-        if n == 1:
-            m = rows_valid + (-rows_valid) % a
-        return a, m, n
+        m = min(max(a, (macro_rows // a) * a), rows_valid + (-rows_valid) % a)
+        n_full = rows_valid // m
+        tail = rows_valid - n_full * m
+        return a, m, n_full, tail
 
-    align, macro, n_chunks = _layout(use_pallas)
+    align, macro, n_full, tail = _layout(use_pallas)
     if use_pallas:
         # Degrade to the XLA path instead of raising when no row tile fits
         # the Pallas VMEM budget (huge dim x wide query tile); the engine
@@ -376,18 +321,31 @@ def global_topk(
             _pick_row_tile(
                 macro, d, q_tile, block, jnp.dtype(shard.dtype).itemsize
             )
+            if tail:
+                _pick_row_tile(
+                    tail + (-tail) % align, d, q_tile, block,
+                    jnp.dtype(shard.dtype).itemsize,
+                )
         except ValueError:
             use_pallas = False
-            align, macro, n_chunks = _layout(False)
-
-    pad_r = n_chunks * macro - rows_valid
-    if pad_r:
-        shard = jnp.pad(shard, ((0, pad_r), (0, 0)))
+            align, macro, n_full, tail = _layout(False)
 
     base_i32 = base.astype(jnp.int32) if hasattr(base, "astype") else jnp.int32(base)
     # Rows past the shard's valid count OR past the global row count are
     # padding (a locally padded row's gid may collide with the next shard's).
     total_valid = jnp.minimum(jnp.int32(rows_valid), num_rows - base_i32)
+
+    # Memory discipline: the scan part is a PREFIX view of the shard
+    # (reshape of a contiguous slice — no copy); only the sub-macro tail is
+    # padded, which copies at most ~macro rows instead of repadding the
+    # whole shard (a full jnp.pad inside jit materialized a second copy of
+    # a 5 GB store and OOM'd the 10M config).
+    tail_rows = tail + ((-tail) % align) if tail else 0
+    tail_part = None
+    if tail_rows:
+        tail_part = shard[n_full * macro:]
+        if tail_rows != tail:
+            tail_part = jnp.pad(tail_part, ((0, tail_rows - tail), (0, 0)))
 
     pad_q = (-q) % q_tile
     padded_queries = (
@@ -401,28 +359,37 @@ def global_topk(
     tiles = padded_queries.reshape(n_tiles, q_tile, shard.shape[1])
 
     def tile_fn(q_block):
-        if n_chunks == 1:
+        if n_full == 1 and not tail_rows:
             return _dense_chunk_topk(
                 shard, q_block, k, base_i32, total_valid, block, use_pallas
             )
-        chunked = shard.reshape(n_chunks, macro, shard.shape[1])
-        offsets = jnp.arange(n_chunks, dtype=jnp.int32) * macro
-
-        def body(carry, xs):
-            chunk, off = xs
+        if n_full == 0:
+            return _dense_chunk_topk(
+                tail_part, q_block, k, base_i32, total_valid, block,
+                use_pallas,
+            )
+        # Chunk loop unrolled in Python, NOT lax.scan: chunk counts are tiny
+        # (the planner keeps them <= ~4) and static slices let XLA alias the
+        # shard buffer — a scan dynamic-slices a multi-GB chunk copy per
+        # iteration, which measured as tens of ms of pure copy on the 10M
+        # config.
+        vals, ids = None, None
+        for c in range(n_full):
+            off = c * macro
             v, i = _dense_chunk_topk(
-                chunk, q_block, k, base_i32 + off,
+                shard[off: off + macro], q_block, k, base_i32 + off,
                 jnp.clip(total_valid - off, 0, macro), block, use_pallas,
             )
             # Carry first: earlier chunks hold lower gids, so top_k's
             # first-occurrence rule keeps the oracle's tie order.
-            return merge_topk(carry[0], carry[1], v, i, k), None
-
-        init = (
-            jnp.full((q_tile, k), PAD_SIM, dtype=jnp.float32),
-            jnp.full((q_tile, k), jnp.iinfo(jnp.int32).max, dtype=jnp.int32),
-        )
-        (vals, ids), _ = jax.lax.scan(body, init, (chunked, offsets))
+            vals, ids = (v, i) if vals is None else merge_topk(vals, ids, v, i, k)
+        if tail_rows:
+            off = n_full * macro
+            v, i = _dense_chunk_topk(
+                tail_part, q_block, k, base_i32 + off,
+                jnp.clip(total_valid - off, 0, tail_rows), block, use_pallas,
+            )
+            vals, ids = merge_topk(vals, ids, v, i, k)
         return vals, ids
 
     vals, ids = jax.lax.map(tile_fn, tiles)

@@ -615,7 +615,22 @@ class Pipeline:
         self.bench.record(timer.stop())
 
         self.bench.record(total.stop())
-        report = self.bench.generate_report()
+        sequential_times = None
+        if cfg.measure_serial_baseline:
+            # Sequential anchor for the report's speedup column: the same
+            # single-query scan, NumPy on the host (argpartition selection).
+            import time as _time
+
+            eff = engine.effective_store()
+            qv = np.asarray(query, dtype=np.float32)[: eff.shape[1]]
+            t0 = _time.perf_counter()
+            from .ops.topk import serial_topk
+
+            serial_topk(eff, qv, cfg.search.top_k)
+            sequential_times = {
+                "similarity_search": _time.perf_counter() - t0
+            }
+        report = self.bench.generate_report(sequential_times)
         return PipelineResult(
             top_k=top_k,
             mrr=mrr,

@@ -170,7 +170,7 @@ def main() -> None:
         cfg = SearchConfig(top_k=k, chunk_rows=suite.chunk_rows,
                            store_dtype=suite.store_dtype)
         eng = SearchEngine(store, cfg)
-        eng._q_tile = lambda q_, _qt=qt: min(q_, _qt)  # type: ignore
+        eng._plan = lambda q_, k_, _qt=qt: (min(q_, _qt), 10**9)  # type: ignore
         fn = eng._get_fn(suite.queries, k)
         qb = jax.random.normal(jax.random.PRNGKey(2),
                                (suite.queries, D), dtype=jnp.float32)

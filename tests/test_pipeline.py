@@ -292,3 +292,19 @@ def test_incremental_update(corpus_dir, tmp_path, capsys):
     ])
     assert rc == 0
     assert "appended 1 embeddings" in capsys.readouterr().out
+
+
+def test_update_invalidates_cached_engine(corpus_dir, tmp_path):
+    """An engine cached on the pipeline BEFORE update() must not serve the
+    stale store afterwards (VERDICT r1: only host 0 invalidated before)."""
+    cfg = _config(corpus_dir, tmp_path)
+    p = Pipeline(cfg)
+    p.run()
+    stale = p.engine()
+    rows_before = stale.store.num_rows
+
+    (corpus_dir / "a" / "Hot1.java").write_text("class Hot1 { int unique; }")
+    p.update()
+    fresh = p.engine()
+    assert fresh is not stale
+    assert fresh.store.num_rows == rows_before + 1

@@ -190,41 +190,11 @@ def test_global_kernel_query_tiling(mesh8):
     mat = mock_embeddings(512, dim=32, seed=27)
     store = DeviceStore.from_host(mat, mesh8, dtype="float32", chunk_rows=128)
     engine = SearchEngine(store, SearchConfig(kernel="global"))
-    engine._q_tile = lambda q: 8  # force tiling
+    engine._plan = lambda q, k: (8, 10**9)  # force query tiling
     queries = mock_embeddings(37, dim=32, seed=28)  # non-multiple of tile
     ids, dists = engine.search(queries, k=9)
     o_ids, o_dists = engine.oracle_topk(queries, k=9)
     np.testing.assert_array_equal(ids, o_ids)
-
-
-def test_verified_topk_matches_exact():
-    """verified_topk returns the exact top-k SET for random and adversarial
-    (heavy-duplicate) inputs; the duplicate case exercises the lax.cond
-    fallback (boundary ties make the set-proof fail)."""
-    import jax.numpy as jnp
-
-    from better_search_rag_rust_tpu.ops.topk import verified_topk
-
-    rng = np.random.default_rng(51)
-    rand = jnp.asarray(rng.standard_normal((16, 512)).astype(np.float32))
-    dup = jnp.asarray(
-        np.tile(rng.standard_normal((16, 8)).astype(np.float32), (1, 64))
-    )
-    for vals in (rand, dup):
-        for k in (1, 7, 100):
-            got_v, got_p = verified_topk(vals, k)
-            ref_v, _ = jax.lax.top_k(vals, k)
-            np.testing.assert_array_equal(
-                np.sort(np.asarray(got_v), axis=1),
-                np.sort(np.asarray(ref_v), axis=1),
-            )
-            # returned positions are distinct and consistent with values
-            for row in range(vals.shape[0]):
-                pos = np.asarray(got_p)[row]
-                assert len(set(pos.tolist())) == k
-                np.testing.assert_array_equal(
-                    np.asarray(vals)[row, pos], np.asarray(got_v)[row]
-                )
 
 
 def test_duplicate_ties_still_exact_with_verified_selection(mesh8):
