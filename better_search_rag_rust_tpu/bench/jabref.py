@@ -124,7 +124,11 @@ def run_jabref_suite(
     created_tmp = work_dir is None
     try:
         corpus = corpus_dir or os.path.join(tmp, "jabref")
-        synthesize_jabref_corpus(corpus)
+        # An existing corpus (e.g. a real JabRef checkout) is used as-is;
+        # otherwise synthesize the reference-shaped tree.
+        has_java = Path(corpus).exists() and any(Path(corpus).rglob("*.java"))
+        if not has_java:
+            synthesize_jabref_corpus(corpus)
 
         cfg = PipelineConfig(
             corpus=CorpusConfig(root=str(corpus), extensions=("java",),

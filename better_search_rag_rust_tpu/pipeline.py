@@ -341,10 +341,27 @@ class Pipeline:
         ``store.use_snapshot`` a fresh Orbax snapshot of the built device
         store restores straight into HBM and is (re)written after a Parquet
         load."""
-        from .store.vectorstore import global_store_path, parquet_row_count
+        from .store.vectorstore import (
+            global_store_path,
+            parquet_row_count,
+            partial_merge_marker,
+        )
 
         cfg = self.config
         path = global_store_path(cfg.store.dir)
+        marker = partial_merge_marker(cfg.store.dir)
+        if marker.exists():
+            if cfg.allow_partial_merge:
+                host_log(
+                    f"WARNING: serving a PARTIAL store ({marker.read_text()})"
+                )
+            else:
+                raise RuntimeError(
+                    f"global store at {cfg.store.dir} was published by a "
+                    f"partial merge ({marker.read_text()}); re-run the "
+                    "missing shards' ingest and merge again, or set "
+                    "allow_partial_merge to serve it anyway"
+                )
         snap_dir = Path(cfg.store.dir) / "device_cache"
         if cfg.store.use_snapshot:
             import json as _json

@@ -308,3 +308,34 @@ def test_update_invalidates_cached_engine(corpus_dir, tmp_path):
     fresh = p.engine()
     assert fresh is not stale
     assert fresh.store.num_rows == rows_before + 1
+
+
+def test_serving_refuses_partial_store(corpus_dir, tmp_path):
+    """A global store published by an allow-partial merge must not serve
+    silently: load refuses unless allow_partial_merge is set (and then
+    warns)."""
+    import pytest
+
+    from better_search_rag_rust_tpu.store.vectorstore import (
+        local_store_path,
+        partial_merge_marker,
+    )
+
+    cfg = _config(corpus_dir, tmp_path)
+    p = Pipeline(cfg)
+    p.run()
+    # Simulate a crashed second ingest host: merge expects 2 shards but
+    # rank_1.parquet never appeared.
+    assert local_store_path(cfg.store.dir, 0).exists()
+    from better_search_rag_rust_tpu.store.vectorstore import merge_vector_stores
+
+    merged = merge_vector_stores(2, cfg.store.dir, allow_partial=True)
+    merged.persist()
+    assert partial_merge_marker(cfg.store.dir).exists()
+
+    with pytest.raises(RuntimeError, match="partial merge"):
+        Pipeline(cfg.replace(skip_process=True)).load_device_store()
+    # explicit opt-in serves (and logs a warning)
+    Pipeline(
+        cfg.replace(skip_process=True, allow_partial_merge=True)
+    ).load_device_store()
