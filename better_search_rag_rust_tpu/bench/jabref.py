@@ -144,7 +144,7 @@ def run_jabref_suite(
         # Warm the encoder outside the timed pipeline (first compile through
         # the relayed chip varies 20-300 s and would swamp config 3).
         p.encoder.get_embeddings(["warm up"])
-        encoder_kind = type(p.encoder).__name__
+        encoder_kind = getattr(p.encoder, "backend_label", type(p.encoder).__name__)
 
         # --- config 3: full pipeline (ingest -> merge -> search -> report)
         t0 = time.perf_counter()

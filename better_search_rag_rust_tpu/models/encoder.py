@@ -52,6 +52,9 @@ class EncoderService:
         self.dim = dim
         self.batch_size = batch_size
         self.long_doc = long_doc
+        #: Human-readable backend label for reports/benchmarks
+        #: ("hash", "nomic-random-init", "nomic-checkpoint", ...).
+        self.backend_label = type(encoder).__name__
 
     def _encode_rows(self, ids: np.ndarray, mask: np.ndarray) -> np.ndarray:
         """Run ``[N, S]`` token rows through the device forward in fixed
@@ -132,10 +135,12 @@ def create_encoder(cfg: Optional[EncoderConfig] = None) -> EncoderService:
             vocab_size=cfg.vocab_size,
             dtype=cfg.dtype,
         )
-        return EncoderService(
+        svc = EncoderService(
             enc.tokenizer, enc, enc.dim, batch_size=cfg.batch_size,
             long_doc=cfg.long_doc,
         )
+        svc.backend_label = "hash"
+        return svc
 
     if backend == "nomic":
         model_cfg = NomicBertConfig.from_encoder_config(cfg)
@@ -154,9 +159,13 @@ def create_encoder(cfg: Optional[EncoderConfig] = None) -> EncoderService:
         tokenizer = load_tokenizer(
             cfg.checkpoint_dir, cfg.max_tokens, cfg.vocab_size
         )
-        return EncoderService(
+        svc = EncoderService(
             tokenizer, enc, enc.dim, batch_size=cfg.batch_size,
             long_doc=cfg.long_doc,
         )
+        svc.backend_label = (
+            "nomic-checkpoint" if params is not None else "nomic-random-init"
+        )
+        return svc
 
     raise ValueError(f"unknown encoder backend {backend!r}")

@@ -23,6 +23,13 @@ def test_engine_equals_oracle_random_configs(mesh8, trial):
     nq = int(rng.integers(1, 9))
     chunk = int(rng.choice([128, 136, 256, 512]))
 
+    # Half the trials force macro chunking at a random tiny sims budget so
+    # the chunked running-merge path (incl. the padded tail and carry ties)
+    # fuzzes alongside the single-chunk path. 0 = the auto HBM budget.
+    sims_budget = (
+        int(rng.integers(16, 600)) * 1024 if trial % 2 else 0
+    )
+
     mat = mock_embeddings(n, dim=dim, seed=2000 + trial)
     if trial % 3 == 0 and n > 10:
         # inject duplicates + a zero row for tie/edge coverage
@@ -30,7 +37,11 @@ def test_engine_equals_oracle_random_configs(mesh8, trial):
         mat[n - 1] = mat[0]
         mat[n // 3] = 0.0
     store = DeviceStore.from_host(mat, mesh8, dtype=dtype, chunk_rows=chunk)
-    engine = SearchEngine(store, SearchConfig(kernel=kernel, chunk_rows=chunk))
+    engine = SearchEngine(
+        store,
+        SearchConfig(kernel=kernel, chunk_rows=chunk,
+                     sims_buffer_bytes=sims_budget),
+    )
     queries = mock_embeddings(nq, dim=dim, seed=3000 + trial)
     if trial % 4 == 0:
         queries[0] = mat[min(5, n - 1)]  # exact-hit query
