@@ -76,7 +76,7 @@ def _add_common(p: argparse.ArgumentParser) -> None:
                       choices=["bfloat16", "float32"])
     srch.add_argument("--chunk-rows", type=int, default=16384)
     srch.add_argument("--search-kernel", default="auto",
-                      choices=["auto", "global", "scan", "blockmax", "pallas"])
+                      choices=["auto", "global", "scan", "blockmax", "pallas", "rescore"])
     srch.add_argument("--query", default=None, metavar="TEXT",
                       help="free-text query: encode and retrieve matching "
                            "corpus files instead of the self-retrieval check")

@@ -137,7 +137,9 @@ class SearchConfig:
     #: Search strategy: "global" (dense two-stage block selection — one
     #: matmul + one top-k per query tile, the fastest exact path), "scan"
     #: (chunked running top-k), "blockmax" (chunked hierarchical merge),
-    #: "pallas" (fused kernel), or "auto" (pick by memory / k).
+    #: "pallas" (fused kernel), "rescore" (sims-free: blockmax-only pass +
+    #: gather selected store rows + bitwise-exact rescore — wins on huge
+    #: low-dim shards), or "auto" (pick by shard size / dim / k).
     kernel: str = "auto"
 
 

@@ -231,13 +231,28 @@ class SearchEngine:
     def _resolve_kernel(self, k_eff: int) -> str:
         kernel = self.config.kernel
         if kernel == "auto":
+            if self._rescore_wins(k_eff):
+                return "rescore"
             # Dense two-stage selection with macro chunking handles any
-            # shard size at a bounded sims buffer, so it is always the
-            # fastest exact path. Fused Pallas scoring wins on real TPUs
-            # (~20% over the XLA matmul+reduce); interpret mode elsewhere
-            # would crawl.
+            # shard size at a bounded sims buffer. Fused Pallas scoring
+            # wins on real TPUs (~20% over the XLA matmul+reduce);
+            # interpret mode elsewhere would crawl.
             kernel = "pallas" if jax.default_backend() == "tpu" else "global"
         return kernel
+
+    def _rescore_wins(self, k_eff: int) -> bool:
+        """The sims-free rescore pipeline beats the dense two-stage path
+        when its extraction traffic (gather k*128 store rows per query,
+        write + matmul re-read) undercuts the sims write + gather-rescan
+        (2 * rows * 4 bytes per query): measured 2.2x on 10M x 256 bf16.
+        Only worth it at scale — small shards' sims buffers are cheap."""
+        rows = self.store.per_device_rows
+        dim = self.store.data.shape[1]
+        itemsize = jnp.dtype(self.store.data.dtype).itemsize
+        return (
+            rows >= 1 << 21
+            and 2 * k_eff * 128 * dim * itemsize < 8 * rows
+        )
 
     def _vmem_q_cap(self) -> int:
         """Largest query tile for which the Pallas kernel's smallest row
@@ -340,6 +355,38 @@ class SearchEngine:
             self._sims_budget() // (q_tile * 4),
         )
 
+    def _blocks_flat(self, block: int) -> jax.Array:
+        """Pre-relaid ``[rows_pad/block, block*dim]`` view of the store for
+        the rescore kernel's block-unit gather, built ONCE per engine with a
+        sharded jit: the TPU tilings of [R, D] and [NB, block*D] differ, so
+        doing this reshape inside the search program materializes a full
+        store copy per call (OOM'd the 10M config at T=512). Costs one extra
+        store-sized buffer in HBM for the engine's lifetime."""
+        if getattr(self, "_blocks_cache", None) is not None:
+            return self._blocks_cache
+        store = self.store
+        per_dev = store.per_device_rows
+        d = store.data.shape[1]
+        pad = (-per_dev) % 1024  # the bm kernel's row-tile alignment
+
+        def reblock(shard):
+            sh = jnp.pad(shard, ((0, pad), (0, 0))) if pad else shard
+            return sh.reshape((per_dev + pad) // block, block * d)
+
+        fn = jax.jit(
+            _shard_map(
+                reblock,
+                mesh=store.mesh,
+                in_specs=(P(DATA_AXIS, None),),
+                out_specs=P(DATA_AXIS, None),
+                check_vma=False,
+            ),
+            in_shardings=(NamedSharding(store.mesh, P(DATA_AXIS, None)),),
+            out_shardings=NamedSharding(store.mesh, P(DATA_AXIS, None)),
+        )
+        self._blocks_cache = fn(store.data)
+        return self._blocks_cache
+
     def _get_fn(self, q: int, k_eff: int):
         kernel = self._resolve_kernel(k_eff)
         key = (q, k_eff, kernel)
@@ -355,6 +402,31 @@ class SearchEngine:
         store_dtype = store.data.dtype
 
         q_tile, macro_rows = self._plan(q, k_eff)
+        if kernel == "rescore":
+            # No sims buffer exists on this path, so ignore the sims-driven
+            # plan. HBM ledger: store + blocks cache (2x store bytes) + ~2x
+            # the gathered-rows buffer (XLA keeps a contraction-layout copy
+            # for the rescore einsum; measured: T=512 OOM'd a 10M x 256
+            # store by 69 MB, T=256 peaks ~13.8 of 15.75 GB). 256 is also
+            # within a few percent of 512 on throughput — the bm pass and
+            # gather totals are tile-count invariant.
+            dim = store.data.shape[1]
+            itemsize = jnp.dtype(store.data.dtype).itemsize
+            cap = max(8, (2 << 30) // max(k_eff * 128 * dim * itemsize, 1))
+            q_tile = max(8, min(q, 256, self._vmem_q_cap(), (cap // 8) * 8))
+
+        def shard_fn_rescore(shard, blocks, queries_cast):
+            from .topk import rescore_topk
+
+            base = jax.lax.axis_index(DATA_AXIS) * per_dev
+            # The rescore gather unit is pinned to 128 rows (the blocks
+            # cache layout + bm kernel row-tile family assume it).
+            return rescore_topk(
+                shard, queries_cast, k_eff, base, num_rows, q_tile,
+                use_pallas=(jax.default_backend() == "tpu"),
+                block=128,
+                blocks_flat=blocks,
+            )
 
         def shard_fn(shard, queries_cast):
             base = jax.lax.axis_index(DATA_AXIS) * per_dev
@@ -374,33 +446,50 @@ class SearchEngine:
         # reference's counts-all_gather + ragged p2p gather-v
         # (src/mpi_helpers/metrics.rs:56-138) — k is static, so no
         # variable-length gather exists at all.
-        mapped = _shard_map(
-            shard_fn,
-            mesh=mesh,
-            in_specs=(P(DATA_AXIS, None), P(None, None)),
-            out_specs=(P(None, DATA_AXIS), P(None, DATA_AXIS)),
-            # vma tracking rejects pallas_call outputs inside shard_map
-            # (replicated queries x varying shard); correctness is covered by
-            # the oracle-exactness harness instead.
-            check_vma=False,
-        )
+        if kernel == "rescore":
+            mapped = _shard_map(
+                shard_fn_rescore,
+                mesh=mesh,
+                in_specs=(P(DATA_AXIS, None), P(DATA_AXIS, None), P(None, None)),
+                out_specs=(P(None, DATA_AXIS), P(None, DATA_AXIS)),
+                check_vma=False,
+            )
+        else:
+            mapped = _shard_map(
+                shard_fn,
+                mesh=mesh,
+                in_specs=(P(DATA_AXIS, None), P(None, None)),
+                out_specs=(P(None, DATA_AXIS), P(None, DATA_AXIS)),
+                # vma tracking rejects pallas_call outputs inside shard_map
+                # (replicated queries x varying shard); correctness is covered
+                # by the oracle-exactness harness instead.
+                check_vma=False,
+            )
 
-        def search_fn(data, queries):
-            queries_cast = normalize_rows(queries).astype(store_dtype)
-            cand_vals, cand_ids = mapped(data, queries_cast)  # [Q, S*k]
+        def merge(cand_vals, cand_ids):
             # Final merge (≙ root-only compute_global_top_k,
             # src/mpi_helpers/metrics.rs:141-171) — XLA inserts the gather,
             # and shard order keeps ties resolving to the lowest index.
             top_vals, pos = jax.lax.top_k(cand_vals, k_eff)
-            top_ids = jnp.take_along_axis(cand_ids, pos, axis=1)
-            return top_vals, top_ids
+            return top_vals, jnp.take_along_axis(cand_ids, pos, axis=1)
 
-        fn = jax.jit(
-            search_fn,
-            in_shardings=(
-                NamedSharding(mesh, P(DATA_AXIS, None)),
-                NamedSharding(mesh, P(None, None)),
-            ),
-        )
+        sharded = NamedSharding(mesh, P(DATA_AXIS, None))
+        replicated = NamedSharding(mesh, P(None, None))
+        if kernel == "rescore":
+            def search_fn3(data, blocks, queries):
+                queries_cast = normalize_rows(queries).astype(store_dtype)
+                return merge(*mapped(data, blocks, queries_cast))
+
+            fn3 = jax.jit(
+                search_fn3, in_shardings=(sharded, sharded, replicated)
+            )
+            blocks_arr = self._blocks_flat(128)
+            fn = lambda data, queries: fn3(data, blocks_arr, queries)
+        else:
+            def search_fn(data, queries):
+                queries_cast = normalize_rows(queries).astype(store_dtype)
+                return merge(*mapped(data, queries_cast))
+
+            fn = jax.jit(search_fn, in_shardings=(sharded, replicated))
         self._compiled[key] = fn
         return fn

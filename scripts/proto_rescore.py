@@ -100,7 +100,7 @@ def main():
         q = jax.random.normal(jax.random.PRNGKey(1), (T, D), dtype=jnp.bfloat16)
         _force(q)
         # pick rt: vmem = 2*rt*D*2 + 2*(rt/128)*T*4 + T*D*2 <= 12MB
-        rt = 8192
+        rt = 4096  # 8192 overflows Mosaic's double-buffered VMEM here
         while 2 * rt * D * 2 + 2 * (rt // 128) * T * 4 + T * D * 2 > 12 << 20:
             rt //= 2
         while R % rt:

@@ -18,7 +18,7 @@ def test_engine_equals_oracle_random_configs(mesh8, trial):
     n = int(rng.integers(3, 1800))
     dim = int(rng.choice([8, 17, 64, 96, 200]))
     dtype = str(rng.choice(["float32", "bfloat16"]))
-    kernel = str(rng.choice(["global", "pallas", "scan", "blockmax"]))
+    kernel = str(rng.choice(["global", "pallas", "scan", "blockmax", "rescore"]))
     k = int(rng.integers(1, 70))
     nq = int(rng.integers(1, 9))
     chunk = int(rng.choice([128, 136, 256, 512]))

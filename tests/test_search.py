@@ -296,3 +296,56 @@ def test_k_exceeds_rows_on_pallas_macro_path(mesh8):
     ids, dists = engine.search(mat[:4], k=250)  # k > per-device rows
     o_ids, o_dists = engine.oracle_topk(mat[:4], k=250)
     np.testing.assert_array_equal(ids, o_ids)
+
+
+def test_rescore_kernel_exact(mesh8):
+    """The sims-free rescore kernel (blockmax-only pass + store-row gather +
+    recomputed scores) must match the oracle exactly, including duplicates,
+    zero rows, negative-similarity regimes and row padding (zero pad rows
+    rescore to 0.0 and MUST be masked, or they would beat negative sims)."""
+    rng = np.random.default_rng(80)
+    mat = rng.standard_normal((3000, 32)).astype(np.float32)
+    mat[100] = mat[7]
+    mat[2000:2010] = mat[50]
+    mat[123] = 0.0
+    queries = np.concatenate([
+        mat[rng.integers(0, 3000, 12)],
+        -mat[:4],  # anti-correlated: all sims negative for some rows
+    ])
+    for dtype in ("float32", "bfloat16"):
+        store = DeviceStore.from_host(mat, mesh8, dtype=dtype, chunk_rows=256)
+        engine = SearchEngine(store, SearchConfig(kernel="rescore"))
+        assert engine.kernel_name(9) == "rescore"
+        ids, dists = engine.search(queries, k=9)
+        o_ids, o_dists = engine.oracle_topk(queries, k=9)
+        np.testing.assert_array_equal(ids, o_ids, err_msg=dtype)
+        np.testing.assert_allclose(dists, o_dists, atol=1e-6)
+
+
+def test_rescore_kernel_tiny_and_k_over_rows(mesh8):
+    mat = mock_embeddings(90, dim=16, seed=81)
+    store = DeviceStore.from_host(mat, mesh8, dtype="float32", chunk_rows=64)
+    engine = SearchEngine(store, SearchConfig(kernel="rescore"))
+    ids, _ = engine.search(mat[:3], k=80)  # k > per-device rows
+    o_ids, _ = engine.oracle_topk(mat[:3], k=80)
+    np.testing.assert_array_equal(ids, o_ids)
+
+
+def test_rescore_hierarchical_selection_path(mesh8):
+    """Force the superblock->block hierarchical selection branch
+    (nb >= 32*kb) and check exactness with tie clusters."""
+    rng = np.random.default_rng(82)
+    mat = rng.standard_normal((70000, 16)).astype(np.float32)
+    mat[40000:40032] = mat[100]  # 33-way duplicate cluster
+    store = DeviceStore.from_host(mat, mesh8, dtype="float32",
+                                  chunk_rows=1024)
+    engine = SearchEngine(store, SearchConfig(kernel="rescore"))
+    # per-device rows = 8960 -> nb = 70; kb = 2 -> hierarchical branch taken
+    queries = mat[rng.integers(0, 70000, 6)]
+    ids, _ = engine.search(queries, k=2)
+    o_ids, _ = engine.oracle_topk(queries, k=2)
+    np.testing.assert_array_equal(ids, o_ids)
+    # also a k large enough to cross superblock boundaries
+    ids40, _ = engine.search(mat[100:101], k=40)
+    o40, _ = engine.oracle_topk(mat[100:101], k=40)
+    np.testing.assert_array_equal(ids40, o40)
