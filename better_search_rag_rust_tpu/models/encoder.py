@@ -72,10 +72,27 @@ class EncoderService:
                 [mask, np.zeros((pad_rows, mask.shape[1]), dtype=mask.dtype)]
             )
         out = np.empty((padded_n, self.dim), dtype=np.float32)
-        for start in range(0, padded_n, bs):
-            out[start : start + bs] = self.encoder.encode_tokens(
-                ids[start : start + bs], mask[start : start + bs]
-            )
+        dev_fwd = getattr(self.encoder, "encode_tokens_device", None)
+        if dev_fwd is not None:
+            # Dispatch every sub-batch to the device first, THEN pull
+            # results: host transfers of batch i overlap the forward of
+            # batch i+1 (a per-batch sync costs ~26 ms through a relayed
+            # chip and serializes the pipeline otherwise).
+            pending = [
+                dev_fwd(ids[s: s + bs], mask[s: s + bs])
+                for s in range(0, padded_n, bs)
+            ]
+            import jax
+
+            for i, buf in enumerate(pending):
+                out[i * bs: (i + 1) * bs] = np.asarray(
+                    jax.device_get(buf), dtype=np.float32
+                )
+        else:
+            for start in range(0, padded_n, bs):
+                out[start: start + bs] = self.encoder.encode_tokens(
+                    ids[start: start + bs], mask[start: start + bs]
+                )
         return out[:n]
 
     def get_embeddings(self, texts: Sequence[str]) -> np.ndarray:

@@ -63,12 +63,19 @@ class HashEncoder:
 
         self._fwd = fwd
 
-    def encode_tokens(
+    def encode_tokens_device(
         self, input_ids: np.ndarray, attention_mask: np.ndarray
-    ) -> np.ndarray:
-        out = self._fwd(
+    ) -> jax.Array:
+        """Device-resident forward (dispatches pipeline; see
+        EncoderService._encode_rows)."""
+        return self._fwd(
             self.table,
             jnp.asarray(input_ids, dtype=jnp.int32),
             jnp.asarray(attention_mask, dtype=jnp.int32),
         )
+
+    def encode_tokens(
+        self, input_ids: np.ndarray, attention_mask: np.ndarray
+    ) -> np.ndarray:
+        out = self.encode_tokens_device(input_ids, attention_mask)
         return np.asarray(jax.device_get(out), dtype=np.float32)
