@@ -235,9 +235,18 @@ class SearchEngine:
                 return "rescore"
             # Dense two-stage selection with macro chunking handles any
             # shard size at a bounded sims buffer. Fused Pallas scoring
-            # wins on real TPUs (~20% over the XLA matmul+reduce);
+            # wins on real TPUs (~20% over the XLA matmul+reduce); it is
+            # bf16-only there (Mosaic's f32 matmul is not the oracle's
+            # arithmetic — see topk_pallas.pallas_scoring_exact_for);
             # interpret mode elsewhere would crawl.
-            kernel = "pallas" if jax.default_backend() == "tpu" else "global"
+            from .topk_pallas import pallas_scoring_exact_for
+
+            kernel = (
+                "pallas"
+                if jax.default_backend() == "tpu"
+                and pallas_scoring_exact_for(self.store.data.dtype)
+                else "global"
+            )
         return kernel
 
     def _rescore_wins(self, k_eff: int) -> bool:
@@ -246,12 +255,17 @@ class SearchEngine:
         write + matmul re-read) undercuts the sims write + gather-rescan
         (2 * rows * 4 bytes per query): measured 2.2x on 10M x 256 bf16.
         Only worth it at scale — small shards' sims buffers are cheap."""
+        from .topk_pallas import pallas_scoring_exact_for
+
         rows = self.store.per_device_rows
         dim = self.store.data.shape[1]
         itemsize = jnp.dtype(self.store.data.dtype).itemsize
         return (
             rows >= 1 << 21
             and 2 * k_eff * 128 * dim * itemsize < 8 * rows
+            # The fast path needs the Mosaic dot (bf16-only on real TPUs);
+            # the f32 rescore branch materializes sims and wins nothing.
+            and pallas_scoring_exact_for(self.store.data.dtype)
         )
 
     def _vmem_q_cap(self) -> int:
@@ -306,12 +320,13 @@ class SearchEngine:
         return best[1], best[2]
 
     def _sims_budget(self) -> int:
-        """f32 sims-buffer budget in bytes. ``config.sims_buffer_bytes`` when
-        positive; otherwise sized from free HBM with 2 GB headroom. The
-        budget directly sets the macro-chunk count, and the per-chunk
-        selection cost is slice-bound (~Q * k * n_chunks dynamic-slice
-        gathers), so a bigger buffer is strictly better until HBM runs out —
-        measured on the 10M suite: 10 chunks -> 2.6k q/s, 3 chunks -> ~8k."""
+        """f32 sims-buffer budget in bytes for the dense sims-path kernels.
+        ``config.sims_buffer_bytes`` when positive; otherwise sized from
+        free HBM. The budget sets the macro-chunk count; each chunk pays a
+        candidate-gather rescan of its sims plus fixed selection ops, so
+        fewer chunks help until HBM pressure bites (measured optimum ~4 GB
+        on 10M x 256 — though that config now routes to the sims-free
+        rescore kernel entirely)."""
         b = self.config.sims_buffer_bytes
         if b > 0:
             return b

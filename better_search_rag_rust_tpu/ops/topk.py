@@ -297,6 +297,14 @@ def global_topk(
         # Mosaic cannot lane-tile a sub-128 block-max reshape (measured:
         # block=64 fails to compile); the XLA path handles any width.
         use_pallas = False
+    if use_pallas:
+        from .topk_pallas import pallas_scoring_exact_for
+
+        if not pallas_scoring_exact_for(shard.dtype):
+            # Mosaic's f32 matmul is NOT the oracle's arithmetic on a real
+            # chip (default = one bf16 pass; HIGHEST still differs by
+            # ~2e-5) — f32 shards take the XLA kernels. bf16 is bitwise.
+            use_pallas = False
     rows_valid, d = shard.shape
     q = queries_cast.shape[0]
     q_tile = max(1, min(q_tile, q))
@@ -439,9 +447,16 @@ def rescore_topk(
     10M config at T=512); the engine builds it ONCE per store and passes it
     in. When given, its row count defines the padded row space.
     """
+    if use_pallas:
+        from .topk_pallas import pallas_scoring_exact_for
+
+        if not pallas_scoring_exact_for(shard.dtype):
+            use_pallas = False  # f32 on real TPU: Mosaic != oracle math
     rows_valid, d = shard.shape
     q = queries_cast.shape[0]
-    q_tile = max(1, min(q_tile, q))
+    # block_scores processes 8 queries per grid step: keep the tile 8-aligned.
+    q_tile = max(8, (min(q_tile, q) // 8) * 8) if use_pallas else max(
+        1, min(q_tile, q))
     itemsize = jnp.dtype(shard.dtype).itemsize
 
     # Pad rows so the bm pass tiles evenly (small copy; masked anyway).
@@ -484,6 +499,7 @@ def rescore_topk(
         if use_pallas:
             from .topk_pallas import default_interpret, matmul_blockmax_only
 
+            sims = None
             bm = matmul_blockmax_only(
                 q_block, shard, total_valid,
                 interpret=default_interpret(), block=block,
@@ -518,13 +534,26 @@ def rescore_topk(
             _, bids = jax.lax.top_k(bm, kb)
         bids = jnp.sort(bids, axis=1)
 
-        # -- gather selected store blocks + bitwise-exact rescore --------------
-        g = jnp.take(blocks_flat, bids.reshape(-1), axis=0)
-        g = g.reshape(t, kb * block, d)
-        cand_sims = jnp.einsum(
-            "td,tcd->tc", q_block, g, preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
-        )
+        # -- candidate scores ---------------------------------------------------
+        if sims is None:
+            # Gather the selected blocks' STORE ROWS and rescore them with
+            # the Mosaic-dot kernel: the SAME primitive + accumulation
+            # order as the bm pass, bitwise equal to the oracle's matmul
+            # for bf16. (A plain einsum lets XLA pick a different reduction
+            # order — measured index flips vs the oracle at near-ties.)
+            from .topk_pallas import block_scores, default_interpret
+
+            g = jnp.take(blocks_flat, bids.reshape(-1), axis=0)
+            g = g.reshape(t, kb * block, d)
+            cand_sims = block_scores(
+                q_block, g, interpret=default_interpret()
+            )
+        else:
+            # XLA branch (CPU tests, f32 shards): sims exist — take the
+            # candidate values straight from them, no re-scoring at all.
+            cand_sims = jnp.take_along_axis(
+                sims.reshape(t, nb, block), bids[:, :, None], axis=1
+            ).reshape(t, kb * block)
         local_rows = (
             bids[:, :, None] * block
             + jnp.arange(block, dtype=jnp.int32)[None, None, :]

@@ -244,6 +244,99 @@ def matmul_blockmax_only(
     return bm_t
 
 
+def _pick_score_ctile(c: int, d: int, itemsize: int) -> int:
+    """Largest candidate tile (multiple of 128 dividing ``c``) whose
+    double-buffered 8-query block of rows fits ~8 MB of VMEM."""
+    best = 128
+    for g in range(1, c // 128 + 1):
+        ct = 128 * g
+        if c % ct:
+            continue
+        if 2 * 8 * ct * d * itemsize + 8 * ct * 4 <= 8 * 1024 * 1024:
+            best = ct
+    return best
+
+
+def _score_kernel(q_ref, g_ref, o_ref):
+    """Scores for an (8-query, candidate-tile) cell.
+
+    Each of the 8 queries has its OWN candidate rows, so the step runs 8
+    rank-2 ``dot_general``s — the SAME primitive the scoring kernels use —
+    and keeps row ``r`` of the r-th product. A row of an MXU matmul is
+    bitwise identical to a 1-row matmul (the K accumulation order is the
+    same), so every kept score matches the streaming matmul bit for bit.
+    (Mosaic rejects sub-8 sublane blocks and batched dot_general, hence
+    this 8-way unrolled form.)"""
+    for r in range(8):
+        s = jax.lax.dot_general(
+            q_ref[:],
+            g_ref[r],
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [8, ctile]; only row r corresponds to query r's candidates
+        o_ref[r, :] = s[r, :]
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def block_scores(
+    queries: jax.Array, gathered: jax.Array, *, interpret: bool = False
+) -> jax.Array:
+    """``[T, C] f32`` scores of each query against ITS OWN ``C`` gathered
+    candidate rows (``gathered [T, C, D]``).
+
+    Exists because a plain ``einsum('td,tcd->tc')`` lets XLA pick a
+    different reduction order than the big scoring matmul (measured: index
+    mismatches vs the oracle at near-ties on real TPUs, both dtypes); this
+    kernel pins the same Mosaic dot_general the bm pass uses, which is
+    bitwise-identical to XLA's HIGHEST-precision matmul for bf16 operands
+    (verified on hardware across the chip exactness sweep)."""
+    t, d = queries.shape
+    t2, c, d2 = gathered.shape
+    if (t, d) != (t2, d2):
+        raise ValueError(f"shape mismatch {queries.shape} vs {gathered.shape}")
+    if t % 8:
+        raise ValueError(f"query tile {t} must be a multiple of 8")
+    ctile = _pick_score_ctile(c, d, jnp.dtype(gathered.dtype).itemsize)
+    grid_spec = pl.GridSpec(
+        grid=(t // 8, c // ctile),
+        in_specs=[
+            pl.BlockSpec((8, d), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (8, ctile, d), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (8, ctile), lambda i, j: (i, j), memory_space=pltpu.VMEM
+        ),
+    )
+    return pl.pallas_call(
+        _score_kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((t, c), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * t * c * d,
+            bytes_accessed=t * d * 2 + t * c * d * 2 + t * c * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(queries, gathered)
+
+
+def pallas_scoring_exact_for(dtype) -> bool:
+    """Whether the Mosaic matmul path reproduces the oracle's scores
+    bit-for-bit for this operand dtype on the current backend.
+
+    bf16: yes (verified on hardware — all sims-path kernels matched the
+    oracle across the chip exactness sweep). f32 on a REAL TPU: no — the
+    Mosaic default lowers to a single bf16 pass (max abs error ~3e-1 vs
+    XLA HIGHEST on [64,768]x[768,1024]!), and precision=HIGHEST still
+    differs by ~2e-5, so f32 shards must route to the XLA kernels.
+    Interpret mode (tests) computes exact f32 math and is fine."""
+    if jax.default_backend() != "tpu":
+        return True
+    return jnp.dtype(dtype) == jnp.bfloat16
+
+
 def default_interpret() -> bool:
     """Interpreter mode everywhere except a real TPU backend."""
     return jax.default_backend() != "tpu"

@@ -1,0 +1,74 @@
+"""On-chip exactness sweep: engine vs serial oracle on the REAL TPU.
+
+The CI suite proves the kernels on an emulated CPU mesh; this drives the
+same engine-vs-oracle contract on actual TPU arithmetic (MXU bf16 rounding,
+Mosaic-compiled kernels, hardware ApproxTopK) across every kernel and a set
+of adversarial stores. Prints PASS/FAIL per config; exits nonzero on any
+mismatch.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+from better_search_rag_rust_tpu.config import SearchConfig
+from better_search_rag_rust_tpu.ops import SearchEngine
+from better_search_rag_rust_tpu.parallel.mesh import create_mesh
+from better_search_rag_rust_tpu.store import DeviceStore
+
+
+def build_cases():
+    rng = np.random.default_rng(0)
+    cases = []
+    m = rng.standard_normal((20000, 768)).astype(np.float32)
+    cases.append(("random_20k_768", m))
+    m = rng.standard_normal((65536, 256)).astype(np.float32)
+    m[30000:30050] = m[17]     # 51-way duplicate cluster
+    m[4096] = 0.0              # zero row
+    cases.append(("dups_64k_256", m))
+    m = np.tile(rng.standard_normal((64, 128)).astype(np.float32), (256, 1))
+    cases.append(("all_dup_16k_128", m))   # every row duplicated 256x
+    m = rng.standard_normal((300000, 64)).astype(np.float32)
+    cases.append(("tall_300k_64", m))
+    return cases
+
+
+def main() -> int:
+    mesh = create_mesh()
+    failures = 0
+    for name, mat in build_cases():
+        for dtype in ("bfloat16", "float32"):
+            store = DeviceStore.from_host(mat, mesh, dtype=dtype)
+            for kernel in ("pallas", "global", "rescore", "blockmax", "scan"):
+                eng = SearchEngine(
+                    store,
+                    SearchConfig(kernel=kernel, sims_buffer_bytes=0),
+                )
+                rng = np.random.default_rng(hash(name) % 2**31)
+                qi = rng.integers(0, mat.shape[0], 8)
+                queries = mat[qi]
+                for k in (1, 10, 100):
+                    ids, dists = eng.search(queries, k=k)
+                    o_ids, o_dists = eng.oracle_topk(queries, k=k)
+                    ok = np.array_equal(ids, o_ids)
+                    tag = f"{name} {dtype} {kernel} k={k}"
+                    if not ok:
+                        failures += 1
+                        bad = np.argwhere(ids != o_ids)[:3]
+                        print(f"FAIL  {tag}  first diffs {bad.tolist()}",
+                              flush=True)
+                    else:
+                        print(f"pass  {tag}", flush=True)
+            del store
+    print(f"\n{'ALL PASS' if failures == 0 else f'{failures} FAILURES'}",
+          flush=True)
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

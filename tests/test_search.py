@@ -349,3 +349,25 @@ def test_rescore_hierarchical_selection_path(mesh8):
     ids40, _ = engine.search(mat[100:101], k=40)
     o40, _ = engine.oracle_topk(mat[100:101], k=40)
     np.testing.assert_array_equal(ids40, o40)
+
+
+def test_rescore_pallas_branch_interpret(mesh8):
+    """Force the Pallas rescore branch (bm-only kernel + block_scores
+    scorer, interpret mode on CPU) and check oracle exactness — the branch
+    the engine takes on real TPUs with bf16 shards."""
+    from better_search_rag_rust_tpu.ops.topk import rescore_topk, serial_topk
+
+    rng = np.random.default_rng(90)
+    mat = rng.standard_normal((2100, 32)).astype(np.float32)
+    mat[700] = mat[3]
+    mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+    queries = mat[rng.integers(0, 2100, 5)]
+
+    import jax.numpy as jnp
+
+    vals, ids = rescore_topk(
+        jnp.asarray(mat), jnp.asarray(queries), 11, jnp.int32(0), 2100,
+        q_tile=5, use_pallas=True,
+    )
+    o_ids, _ = serial_topk(mat, queries, 11)
+    np.testing.assert_array_equal(np.asarray(ids), o_ids)
