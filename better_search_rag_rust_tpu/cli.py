@@ -66,6 +66,11 @@ def _add_common(p: argparse.ArgumentParser) -> None:
     st.add_argument("--snapshot", action="store_true",
                     help="maintain an Orbax device-store snapshot for fast "
                          "serve startup")
+    st.add_argument("--force-merge", action="store_true",
+                    help="let a merge rebuild global.parquet even when an "
+                         "incremental update left it ahead of the shards "
+                         "(the appended rows are DISCARDED; only safe after "
+                         "a full re-ingest)")
 
     srch = p.add_argument_group("search")
     srch.add_argument("--top-k", type=int, default=50,
@@ -123,6 +128,7 @@ def _config_from_args(args, skip_process: bool) -> PipelineConfig:
         ),
         skip_process=skip_process,
         measure_serial_baseline=getattr(args, "speedup_baseline", False),
+        force_merge=getattr(args, "force_merge", False),
     )
 
 

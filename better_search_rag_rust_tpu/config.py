@@ -69,8 +69,10 @@ class EncoderConfig:
     matryoshka_dim: Optional[int] = None
     #: Compute dtype for the forward pass.
     dtype: str = "bfloat16"
-    #: Attention implementation: "auto" (Pallas flash attention on TPU,
-    #: explicit XLA attention elsewhere), "flash", or "xla".
+    #: Attention implementation: "auto" resolves to "xla_bf16" (bf16 logits,
+    #: f32 softmax — the measured-best serving config at S=512), "xla" forces
+    #: full-f32 logits (numerical parity checks pin this), "flash" forces the
+    #: Pallas flash kernel (only pays off beyond S=512; ~40% slower there).
     attention_impl: str = "auto"
     #: Long-document handling: "truncate" keeps the reference's semantics
     #: (text beyond max_tokens is silently dropped, src/llm/hf.rs:62-67);
@@ -134,6 +136,16 @@ class SearchConfig:
     #: per-chunk candidate gathers, the dominant selection cost at scale).
     sims_buffer_bytes: int = 0
     #: Scores always accumulate in float32 on the MXU.
+    #: Planner device-profile overrides. The tile/chunk planner costs
+    #: layouts from per-device constants (effective HBM GB/s, gather
+    #: slice ns, final top-k us, HBM GB) looked up by device kind in
+    #: :mod:`..ops.device_profile`; set these to override the table
+    #: (0 / "" = auto). Exactness NEVER depends on them — only tile sizing.
+    device_kind: str = ""
+    hbm_gb: float = 0.0
+    hbm_gbps: float = 0.0
+    slice_ns: float = 0.0
+    final_topk_us: float = 0.0
     #: Search strategy: "global" (dense two-stage block selection — one
     #: matmul + one top-k per query tile, the fastest exact path), "scan"
     #: (chunked running top-k), "blockmax" (chunked hierarchical merge),
@@ -168,6 +180,11 @@ class PipelineConfig:
     #: sequential times are supplied). Off by default: it pulls the store
     #: to the host, which is costly for multi-GB stores.
     measure_serial_baseline: bool = False
+    #: Let a merge rebuild global.parquet even when an incremental
+    #: ``update()`` left it AHEAD of the per-shard stores (the appended rows
+    #: live in no shard and are discarded by the rebuild — only safe after a
+    #: full re-ingest of every shard). Default False: merge fails loudly.
+    force_merge: bool = False
     #: Let the merge publish a global store with missing/unreadable shards
     #: (recorded in a ``global.parquet.partial`` marker). Default False:
     #: a crashed ingest host fails the merge instead of silently shipping

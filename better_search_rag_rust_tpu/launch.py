@@ -28,9 +28,17 @@ def maybe_init_distributed() -> bool:
     instead of calling ``jax.process_count()`` (which would initialize it).
     """
     import jax
-    from jax._src import distributed as _dist
 
-    if getattr(_dist.global_state, "client", None) is not None:
+    try:
+        initialized = jax.distributed.is_initialized()
+    except AttributeError:  # older jax: fall back to the private state
+        try:
+            from jax._src import distributed as _dist
+
+            initialized = getattr(_dist.global_state, "client", None) is not None
+        except Exception:
+            initialized = False
+    if initialized:
         return True  # explicitly initialized earlier
     coord = os.environ.get("BSR_COORDINATOR")
     nproc = os.environ.get("BSR_NUM_PROCESSES")

@@ -55,6 +55,12 @@ class EncoderService:
         #: Human-readable backend label for reports/benchmarks
         #: ("hash", "nomic-random-init", "nomic-checkpoint", ...).
         self.backend_label = type(encoder).__name__
+        #: Numerics fingerprint of the embedding computation (backend,
+        #: resolved attention impl, compute dtype, ...). Recorded into the
+        #: store's ``encoder.json`` at ingest so query-time numerics drift
+        #: (e.g. an "auto" attention default changing) is visible instead of
+        #: silent — embeddings differ at bf16-noise level across impls.
+        self.numerics: dict = {}
 
     def _encode_rows(self, ids: np.ndarray, mask: np.ndarray) -> np.ndarray:
         """Run ``[N, S]`` token rows through the device forward in fixed
@@ -157,6 +163,13 @@ def create_encoder(cfg: Optional[EncoderConfig] = None) -> EncoderService:
             long_doc=cfg.long_doc,
         )
         svc.backend_label = "hash"
+        svc.numerics = {
+            "backend": "hash",
+            "dtype": str(cfg.dtype),
+            "dim": enc.dim,
+            "max_tokens": cfg.max_tokens,
+            "long_doc": cfg.long_doc,
+        }
         return svc
 
     if backend == "nomic":
@@ -183,6 +196,18 @@ def create_encoder(cfg: Optional[EncoderConfig] = None) -> EncoderService:
         svc.backend_label = (
             "nomic-checkpoint" if params is not None else "nomic-random-init"
         )
+        from .nomic import _resolve_attention_impl
+
+        svc.numerics = {
+            "backend": svc.backend_label,
+            "model": cfg.name,
+            "attention_impl": _resolve_attention_impl(cfg.attention_impl),
+            "dtype": str(cfg.dtype),
+            "dim": enc.dim,
+            "max_tokens": cfg.max_tokens,
+            "long_doc": cfg.long_doc,
+            "matryoshka_dim": cfg.matryoshka_dim,
+        }
         return svc
 
     raise ValueError(f"unknown encoder backend {backend!r}")

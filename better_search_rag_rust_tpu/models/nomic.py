@@ -59,8 +59,8 @@ class NomicBertConfig:
     qkv_bias: bool = False
     mlp_bias: bool = False
     dtype: Any = jnp.bfloat16
-    #: "auto" = Pallas flash attention on TPU, explicit XLA attention
-    #: elsewhere; "flash" / "xla" force one implementation.
+    #: "auto" resolves to "xla_bf16" (see :func:`_resolve_attention_impl`);
+    #: "flash" / "xla" / "xla_bf16" force one implementation.
     attention_impl: str = "auto"
     #: Megatron-style sequence parallelism: when set to (data_axis,
     #: model_axis) mesh names, the residual stream between blocks is

@@ -268,6 +268,22 @@ class SearchEngine:
             and pallas_scoring_exact_for(self.store.data.dtype)
         )
 
+    def _device_profile(self):
+        """Planner constants for the local device kind (config-overridable;
+        see :mod:`.device_profile`). Exactness never depends on these."""
+        if getattr(self, "_profile_cache", None) is None:
+            from .device_profile import local_device_kind, resolve_profile
+
+            cfg = self.config
+            self._profile_cache = resolve_profile(
+                cfg.device_kind or local_device_kind(),
+                hbm_gb=cfg.hbm_gb,
+                hbm_gbps=cfg.hbm_gbps,
+                slice_ns=cfg.slice_ns,
+                final_topk_us=cfg.final_topk_us,
+            )
+        return self._profile_cache
+
     def _vmem_q_cap(self) -> int:
         """Largest query tile for which the Pallas kernel's smallest row
         tile (rt = 8 * block) still fits the ~12 MB VMEM budget at this
@@ -290,9 +306,9 @@ class SearchEngine:
         of macro chunks (n_chunks ~ q_tile * rows * 4 / sims budget) — so
         wide tiles suit big-dim stores that fit one chunk (1M x 768 ->
         T=512) and narrower tiles suit huge stores where chunk count
-        dominates (10M x 256 -> T=256). Constants are v5e measurements
-        (~700 GB/s effective HBM, ~130 ns/slice, ~5.7 us/query final
-        top_k); exactness never depends on this choice.
+        dominates (10M x 256 -> T=256). Constants come from the per-device
+        profile table (:mod:`.device_profile`, v5e-measured, config-
+        overridable); exactness never depends on this choice.
         """
         rows = self.store.per_device_rows
         dim = self.store.data.shape[1]
@@ -300,6 +316,8 @@ class SearchEngine:
         budget = self._sims_budget()
         cap = min(q, self._vmem_q_cap())
         align = 8 * self.config.row_block
+        prof = self._device_profile()
+        hbm_bps = prof.hbm_gbps * 1e9
 
         best = None
         for t in (128, 256, 512, 1024):
@@ -308,10 +326,10 @@ class SearchEngine:
             n_chunks = max(1, -(-(t_eff * rows * 4) // budget))
             macro = -(-rows // n_chunks)
             macro = macro + (-macro) % align
-            store_cost = n_tiles * rows * dim * itemsize / 700e9
-            sims_cost = q * rows * 4 / 700e9
-            slice_cost = q * k_eff * n_chunks * 130e-9
-            final_cost = q * n_chunks * 5.7e-6
+            store_cost = n_tiles * rows * dim * itemsize / hbm_bps
+            sims_cost = q * rows * 4 / hbm_bps
+            slice_cost = q * k_eff * n_chunks * prof.slice_ns * 1e-9
+            final_cost = q * n_chunks * prof.final_topk_us * 1e-6
             cost = store_cost + sims_cost + slice_cost + final_cost
             if best is None or cost < best[0]:
                 best = (cost, t_eff, macro)
@@ -338,16 +356,9 @@ class SearchEngine:
             pass
         if free <= 0:
             # memory_stats is empty on some PJRT transports (e.g. the
-            # relayed test chip): size from the device kind instead, minus
-            # what the store itself occupies per device.
-            hbm = {"TPU v5 lite": 16, "TPU v5e": 16, "TPU v4": 32,
-                   "TPU v5": 95, "TPU v6 lite": 32, "TPU v6e": 32}
-            kind = getattr(jax.local_devices()[0], "device_kind", "")
-            total = 0
-            for name, gb in sorted(hbm.items(), key=lambda kv: -len(kv[0])):
-                if kind.lower().startswith(name.lower()):
-                    total = gb << 30
-                    break
+            # relayed test chip): size from the device profile instead,
+            # minus what the store itself occupies per device.
+            total = int(self._device_profile().hbm_gb * (1 << 30))
             if total:
                 store_bytes = (
                     self.store.per_device_rows

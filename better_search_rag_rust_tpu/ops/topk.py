@@ -155,14 +155,16 @@ def _select_blocks(block_max: jax.Array, kb: int) -> jax.Array:
 
     Fast path: ``lax.approx_max_k(recall_target=1.0)`` (the TPU PartialReduce
     lowering, measured ~3x faster than ``lax.top_k`` on [512, 7936]) with a
-    runtime certificate: ask for ``kp > kb`` candidates; if fewer than ``kp``
-    of them tie-or-beat the ``kb``-th value, then EVERY element >= that value
-    is inside the candidate set (a valid top-kp set cannot exclude an element
-    >= its own boundary while including one below it), so the exact top-kb by
-    (value desc, index asc) is computable from the candidates alone by a
-    two-key sort. Certificate failure (>= kp - kb boundary ties — degenerate
-    stores) falls back to exact ``lax.top_k`` via ``lax.cond``, so exactness
-    never depends on the approx op's recall.
+    runtime certificate counted against the FULL row: with ``w`` the
+    ``kb``-th candidate value, if the number of elements ``>= w`` in the
+    whole row equals the number among the returned candidates, then every
+    element ``>= w`` is inside the candidate set, and since ``w <=`` the
+    true kb-th value (the candidates are a subset of the row), that set
+    covers the exact top-kb — the (value desc, index asc) top-kb follows
+    from a two-key sort of the candidates alone. The certificate makes NO
+    assumption about the approx op's recall or set-validity: a miss above
+    the boundary shows up as a count mismatch and falls back to exact
+    ``lax.top_k`` via ``lax.cond``.
     """
     nb = block_max.shape[1]
     kp = min(nb, max(2 * kb, 128))
@@ -171,7 +173,9 @@ def _select_blocks(block_max: jax.Array, kb: int) -> jax.Array:
         return ids
     av, ap = jax.lax.approx_max_k(block_max, kp, recall_target=1.0)
     w = jax.lax.dynamic_slice_in_dim(av, kb - 1, 1, axis=1)
-    cert = jnp.all(jnp.sum((av >= w).astype(jnp.int32), axis=1) < kp)
+    row_count = jnp.sum((block_max >= w).astype(jnp.int32), axis=1)
+    cand_count = jnp.sum((av >= w).astype(jnp.int32), axis=1)
+    cert = jnp.all(row_count == cand_count)
 
     def fast(_):
         neg, ids = jax.lax.sort((-(av + 0.0), ap), num_keys=2)

@@ -182,16 +182,21 @@ def pick_bm_row_tile(rows: int, dim: int, q_tile: int, block: int,
     registers/VMEM scratch, so the budget is store tile + bm out + query
     tile. 4096 is the measured ceiling (8192 fails Mosaic's double-buffered
     VMEM accounting on a v5e)."""
-    for rt in (4096, 2048, 1024):
-        if rows % rt:
-            continue
-        vmem = (2 * rt * dim * itemsize
+    def vmem(rt: int) -> int:
+        return (2 * rt * dim * itemsize
                 + 2 * (rt // block) * q_tile * 4
                 + q_tile * dim * itemsize
                 + q_tile * rt * 4)  # the in-register sims tile
-        if vmem <= 12 * 1024 * 1024:
+
+    for rt in (4096, 2048, 1024):
+        if rows % rt:
+            continue
+        if vmem(rt) <= 12 * 1024 * 1024:
             return rt
-    if rows % block == 0 and rows <= 4096:
+    # Single-tile fallback (small shards) — single-step grids don't
+    # double-buffer, but the budget still applies (a small-row/large-dim
+    # shard must degrade to the XLA path, not fail Mosaic compilation).
+    if rows % block == 0 and rows <= 4096 and vmem(rows) // 2 <= 12 * 1024 * 1024:
         return rows
     raise ValueError(
         f"no bm-only row tile divides rows={rows} (dim={dim}, q={q_tile})"

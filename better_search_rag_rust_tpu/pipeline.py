@@ -223,6 +223,14 @@ class Pipeline:
                 json.dumps({"files": files_done, "rows": store.count}),
             )
 
+        # Record the encoder numerics that produced this store (backend,
+        # attention impl, dtype): query-time embeddings from different
+        # numerics drift at bf16-noise level, which must be visible.
+        from .store.vectorstore import write_encoder_meta
+
+        if self.encoder.numerics:
+            write_encoder_meta(cfg.store.dir, self.encoder.numerics)
+
         timer = self.bench.start("embedding_generation")
         bsz = cfg.corpus.files_per_batch
         ckpt_every = cfg.checkpoint_every_batches
@@ -307,6 +315,7 @@ class Pipeline:
             num_shards,
             self.config.store.dir,
             allow_partial=self.config.allow_partial_merge,
+            force=self.config.force_merge,
         )
         merged.persist()
         count = merged.count
@@ -451,6 +460,7 @@ class Pipeline:
         from .store.vectorstore import load_manifest
 
         k = self.config.search.top_k if k is None else k
+        self._warn_encoder_drift("query")
         emb = self.encoder.get_embeddings(list(texts))
         ids, dists = self.engine().search(emb, k)
         manifest = load_manifest(self.config.store.dir)
@@ -466,6 +476,28 @@ class Pipeline:
                 ranked.append((path, int(idx), float(dist)))
             out.append(ranked)
         return out
+
+    def _warn_encoder_drift(self, where: str) -> None:
+        """Warn when the current encoder's numerics differ from what the
+        store's ``encoder.json`` recorded at ingest (e.g. an ``auto``
+        attention default change): embeddings drift at bf16-noise level
+        across implementations — not wrong, but never silent."""
+        from .store.vectorstore import load_encoder_meta
+
+        recorded = load_encoder_meta(self.config.store.dir)
+        current = self.encoder.numerics
+        if recorded and current and recorded != current:
+            diff = {
+                key: (recorded.get(key), current.get(key))
+                for key in sorted(set(recorded) | set(current))
+                if recorded.get(key) != current.get(key)
+            }
+            host_log(
+                f"WARNING ({where}): encoder numerics differ from the ones "
+                f"that built this store (recorded vs current): {diff}. "
+                "Query/stored embeddings may drift at bf16-noise level; "
+                "re-ingest to realign."
+            )
 
     def update(self) -> IngestStats:
         """Incremental ingest: embed only corpus files NOT yet in the global
@@ -520,6 +552,7 @@ class Pipeline:
                     f"manifest ({len(manifest)} paths) out of sync with store "
                     f"({gstore.count} rows) — rebuild with a full ingest"
                 )
+            self._warn_encoder_drift("update")
 
             timer = self.bench.start("embedding_generation")
             bsz = cfg.corpus.files_per_batch
@@ -545,6 +578,17 @@ class Pipeline:
             tmp = mpath.with_suffix(f".{_os.getpid()}.tmp")
             tmp.write_text(json.dumps(manifest))
             _os.replace(tmp, mpath)
+            # global.parquet is now AHEAD of the rank_*.parquet shards: the
+            # appended rows live in no shard, so a later merge() would
+            # rebuild global WITHOUT them. The marker makes merge refuse
+            # until a full re-ingest (or an explicit force_merge).
+            from .store.vectorstore import global_ahead_marker
+
+            global_ahead_marker(cfg.store.dir).write_text(
+                json.dumps(
+                    {"rows": gstore.count, "appended": stats.embeddings}
+                )
+            )
             self.bench.record(timer.stop(items_processed=stats.embeddings))
             host_log(
                 f"update: appended {stats.embeddings} embeddings "
@@ -623,7 +667,11 @@ class Pipeline:
 
         timer = self.bench.start("similarity_search")
         top_k = engine.search_single(query, cfg.search.top_k)
-        self.bench.record(timer.stop(items_processed=store.num_rows))
+        # items unit for similarity_search = (query, row) comparisons
+        # everywhere (1 query x num_rows here; evaluate() and the JabRef
+        # suite record n * num_queries), so the report's items/s column is
+        # comparable across code paths.
+        self.bench.record(timer.stop(items_processed=store.num_rows * 1))
 
         timer = self.bench.start("metrics_calculation")
         mrr, recall, overlap = accuracy_metrics_for_query(

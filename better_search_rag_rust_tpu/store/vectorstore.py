@@ -331,10 +331,47 @@ def partial_merge_marker(store_dir: str | os.PathLike) -> Path:
     return Path(store_dir) / "global.parquet.partial"
 
 
+def global_ahead_marker(store_dir: str | os.PathLike) -> Path:
+    """Marker written by :meth:`..pipeline.Pipeline.update` when rows were
+    appended directly to global.parquet: the global store is now AHEAD of the
+    per-shard ``rank_*.parquet`` stores, and a merge (which rebuilds global
+    from the shards) would silently discard the appended rows. ``merge``
+    refuses while this marker exists unless forced."""
+    return Path(store_dir) / "global.parquet.ahead"
+
+
+def encoder_meta_path(store_dir: str | os.PathLike) -> Path:
+    """Encoder-numerics record for the store: which backend / attention
+    implementation / dtype produced the stored embeddings. Query-time
+    encoders with different numerics produce slightly different query
+    vectors (bf16-noise level, cos > 0.999) — not wrong, but drift that
+    should be visible, not silent."""
+    return Path(store_dir) / "encoder.json"
+
+
+def write_encoder_meta(store_dir: str | os.PathLike, meta: dict) -> None:
+    path = encoder_meta_path(store_dir)
+    path.parent.mkdir(parents=True, exist_ok=True)
+    tmp = path.with_suffix(f".{os.getpid()}.tmp")
+    tmp.write_text(json.dumps(meta, sort_keys=True))
+    os.replace(tmp, path)
+
+
+def load_encoder_meta(store_dir: str | os.PathLike) -> Optional[dict]:
+    path = encoder_meta_path(store_dir)
+    if not path.exists():
+        return None
+    try:
+        return json.loads(path.read_text())
+    except ValueError:
+        return None
+
+
 def merge_vector_stores(
     num_shards: int,
     store_dir: str | os.PathLike,
     allow_partial: bool = False,
+    force: bool = False,
 ) -> ParquetVectorStore:
     """Merge per-shard stores into the global store **in shard order** — the
     fixed order keeps local→global index translation valid
@@ -347,7 +384,21 @@ def merge_vector_stores(
     in which case the skipped shards are recorded in a
     ``global.parquet.partial`` marker beside the store. Present-but-empty
     shards are legitimate (a host can be assigned zero files) and merge as
-    zero rows. Caller persists."""
+    zero rows. Caller persists.
+
+    When :func:`global_ahead_marker` exists (an incremental ``update()``
+    appended rows straight to global.parquet that live in NO shard), a merge
+    would rebuild global from the stale shards and silently discard those
+    rows — refused unless ``force=True`` (which also clears the marker)."""
+    ahead = global_ahead_marker(store_dir)
+    if ahead.exists() and not force:
+        raise RuntimeError(
+            f"merge: global store at {store_dir} is AHEAD of its shards "
+            f"({ahead.read_text()}); merging would discard the appended "
+            "rows. Re-run a full ingest of every shard and merge with "
+            "force=True (--force-merge), or delete the marker if you "
+            "accept losing the appended rows."
+        )
     merged = global_store(store_dir, empty=True)
     skipped: list = []
     for shard in range(num_shards):
@@ -384,4 +435,6 @@ def merge_vector_stores(
         marker.write_text(json.dumps({"skipped_shards": skipped}))
     elif marker.exists():
         marker.unlink()
+    if ahead.exists():  # force=True: the caller accepted the rebuild
+        ahead.unlink()
     return merged
