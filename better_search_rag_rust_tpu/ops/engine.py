@@ -249,20 +249,38 @@ class SearchEngine:
             )
         return kernel
 
+    def _rescore_geometry(self, k_eff: int):
+        """(sub, block, cpg) for the sims-free rescore pipeline at this
+        store's dim: high-dim stores extract 16-row units (8x less gather
+        traffic than 128-row blocks), low-dim huge stores extract 128-row
+        units (64 KB DMAs) selected through 1024-row blocks."""
+        dim = self.store.data.shape[1]
+        itemsize = jnp.dtype(self.store.data.dtype).itemsize
+        if dim * itemsize >= 1024:
+            return 16, 128, 8
+        return 128, 1024, 4
+
     def _rescore_wins(self, k_eff: int) -> bool:
         """The sims-free rescore pipeline beats the dense two-stage path
-        when its extraction traffic (gather k*128 store rows per query,
-        write + matmul re-read) undercuts the sims write + gather-rescan
-        (2 * rows * 4 bytes per query): measured 2.2x on 10M x 256 bf16.
-        Only worth it at scale — small shards' sims buffers are cheap."""
+        when its per-query traffic — bm_sub write + refine rescan
+        (~8 * rows / sub bytes) plus the fused DMA extraction (~ks * sub *
+        dim_bytes, weighted ~2.5x for the measured ~57 ns/unit DMA issue
+        cost) — undercuts the sims write + gather-rescan (8 * rows bytes).
+        Measured v5e wins: 10M x 256 bf16 2.2x (round 2, 128-unit form)
+        and 1M x 768 bf16 ~1.7x (round 3, 16-unit two-level form). Small
+        shards stay on the proven sims path: their sims buffers are cheap
+        and the rescore pass has fixed costs."""
         from .topk_pallas import pallas_scoring_exact_for
 
         rows = self.store.per_device_rows
         dim = self.store.data.shape[1]
         itemsize = jnp.dtype(self.store.data.dtype).itemsize
+        sub, _block, cpg = self._rescore_geometry(k_eff)
+        ks = k_eff + (-k_eff) % cpg
+        rescore_traffic = 8 * rows // sub + 5 * ks * sub * dim * itemsize // 2
         return (
-            rows >= 1 << 21
-            and 2 * k_eff * 128 * dim * itemsize < 8 * rows
+            rows >= 1 << 19
+            and rescore_traffic < 8 * rows
             # The fast path needs the Mosaic dot (bf16-only on real TPUs);
             # the f32 rescore branch materializes sims and wins nothing.
             and pallas_scoring_exact_for(self.store.data.dtype)
@@ -381,38 +399,6 @@ class SearchEngine:
             self._sims_budget() // (q_tile * 4),
         )
 
-    def _blocks_flat(self, block: int) -> jax.Array:
-        """Pre-relaid ``[rows_pad/block, block*dim]`` view of the store for
-        the rescore kernel's block-unit gather, built ONCE per engine with a
-        sharded jit: the TPU tilings of [R, D] and [NB, block*D] differ, so
-        doing this reshape inside the search program materializes a full
-        store copy per call (OOM'd the 10M config at T=512). Costs one extra
-        store-sized buffer in HBM for the engine's lifetime."""
-        if getattr(self, "_blocks_cache", None) is not None:
-            return self._blocks_cache
-        store = self.store
-        per_dev = store.per_device_rows
-        d = store.data.shape[1]
-        pad = (-per_dev) % 1024  # the bm kernel's row-tile alignment
-
-        def reblock(shard):
-            sh = jnp.pad(shard, ((0, pad), (0, 0))) if pad else shard
-            return sh.reshape((per_dev + pad) // block, block * d)
-
-        fn = jax.jit(
-            _shard_map(
-                reblock,
-                mesh=store.mesh,
-                in_specs=(P(DATA_AXIS, None),),
-                out_specs=P(DATA_AXIS, None),
-                check_vma=False,
-            ),
-            in_shardings=(NamedSharding(store.mesh, P(DATA_AXIS, None)),),
-            out_shardings=NamedSharding(store.mesh, P(DATA_AXIS, None)),
-        )
-        self._blocks_cache = fn(store.data)
-        return self._blocks_cache
-
     def _get_fn(self, q: int, k_eff: int):
         kernel = self._resolve_kernel(k_eff)
         key = (q, k_eff, kernel)
@@ -430,28 +416,23 @@ class SearchEngine:
         q_tile, macro_rows = self._plan(q, k_eff)
         if kernel == "rescore":
             # No sims buffer exists on this path, so ignore the sims-driven
-            # plan. HBM ledger: store + blocks cache (2x store bytes) + ~2x
-            # the gathered-rows buffer (XLA keeps a contraction-layout copy
-            # for the rescore einsum; measured: T=512 OOM'd a 10M x 256
-            # store by 69 MB, T=256 peaks ~13.8 of 15.75 GB). 256 is also
-            # within a few percent of 512 on throughput — the bm pass and
-            # gather totals are tile-count invariant.
-            dim = store.data.shape[1]
-            itemsize = jnp.dtype(store.data.dtype).itemsize
-            cap = max(8, (2 << 30) // max(k_eff * 128 * dim * itemsize, 1))
-            q_tile = max(8, min(q, 256, self._vmem_q_cap(), (cap // 8) * 8))
+            # plan. Nothing store-sized is allocated beyond the shard itself
+            # (round 2's pre-relaid blocks cache is gone — the fused gather
+            # DMAs straight from the [R, D] store), so the tile is bounded
+            # only by the bm2 kernel's VMEM budget. T=512 measured best on
+            # v5e; T=1024 gains nothing (pass + gather are tile-count
+            # invariant) and doubles the in-register sims tile.
+            q_tile = max(8, min(q, 512, self._vmem_q_cap()))
+        sub, blk, cpg = self._rescore_geometry(k_eff)
 
-        def shard_fn_rescore(shard, blocks, queries_cast):
+        def shard_fn_rescore(shard, queries_cast):
             from .topk import rescore_topk
 
             base = jax.lax.axis_index(DATA_AXIS) * per_dev
-            # The rescore gather unit is pinned to 128 rows (the blocks
-            # cache layout + bm kernel row-tile family assume it).
             return rescore_topk(
                 shard, queries_cast, k_eff, base, num_rows, q_tile,
                 use_pallas=(jax.default_backend() == "tpu"),
-                block=128,
-                blocks_flat=blocks,
+                sub_block=sub, block=blk, cpg=cpg,
             )
 
         def shard_fn(shard, queries_cast):
@@ -472,25 +453,16 @@ class SearchEngine:
         # reference's counts-all_gather + ragged p2p gather-v
         # (src/mpi_helpers/metrics.rs:56-138) — k is static, so no
         # variable-length gather exists at all.
-        if kernel == "rescore":
-            mapped = _shard_map(
-                shard_fn_rescore,
-                mesh=mesh,
-                in_specs=(P(DATA_AXIS, None), P(DATA_AXIS, None), P(None, None)),
-                out_specs=(P(None, DATA_AXIS), P(None, DATA_AXIS)),
-                check_vma=False,
-            )
-        else:
-            mapped = _shard_map(
-                shard_fn,
-                mesh=mesh,
-                in_specs=(P(DATA_AXIS, None), P(None, None)),
-                out_specs=(P(None, DATA_AXIS), P(None, DATA_AXIS)),
-                # vma tracking rejects pallas_call outputs inside shard_map
-                # (replicated queries x varying shard); correctness is covered
-                # by the oracle-exactness harness instead.
-                check_vma=False,
-            )
+        mapped = _shard_map(
+            shard_fn_rescore if kernel == "rescore" else shard_fn,
+            mesh=mesh,
+            in_specs=(P(DATA_AXIS, None), P(None, None)),
+            out_specs=(P(None, DATA_AXIS), P(None, DATA_AXIS)),
+            # vma tracking rejects pallas_call outputs inside shard_map
+            # (replicated queries x varying shard); correctness is covered
+            # by the oracle-exactness harness instead.
+            check_vma=False,
+        )
 
         def merge(cand_vals, cand_ids):
             # Final merge (≙ root-only compute_global_top_k,
@@ -501,21 +473,11 @@ class SearchEngine:
 
         sharded = NamedSharding(mesh, P(DATA_AXIS, None))
         replicated = NamedSharding(mesh, P(None, None))
-        if kernel == "rescore":
-            def search_fn3(data, blocks, queries):
-                queries_cast = normalize_rows(queries).astype(store_dtype)
-                return merge(*mapped(data, blocks, queries_cast))
 
-            fn3 = jax.jit(
-                search_fn3, in_shardings=(sharded, sharded, replicated)
-            )
-            blocks_arr = self._blocks_flat(128)
-            fn = lambda data, queries: fn3(data, blocks_arr, queries)
-        else:
-            def search_fn(data, queries):
-                queries_cast = normalize_rows(queries).astype(store_dtype)
-                return merge(*mapped(data, queries_cast))
+        def search_fn(data, queries):
+            queries_cast = normalize_rows(queries).astype(store_dtype)
+            return merge(*mapped(data, queries_cast))
 
-            fn = jax.jit(search_fn, in_shardings=(sharded, replicated))
+        fn = jax.jit(search_fn, in_shardings=(sharded, replicated))
         self._compiled[key] = fn
         return fn

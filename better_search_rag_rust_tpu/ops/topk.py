@@ -415,6 +415,10 @@ def global_topk(
 # ---------------------------------------------------------------------------
 
 
+def _round_up(x: int, m: int) -> int:
+    return x + (-x) % m
+
+
 def rescore_topk(
     shard: jax.Array,
     queries_cast: jax.Array,
@@ -424,32 +428,47 @@ def rescore_topk(
     q_tile: int = 512,
     use_pallas: bool = False,
     block: int = BLOCK,
-    blocks_flat: Optional[jax.Array] = None,
+    sub_block: int = 0,
+    cpg: int = 0,
 ) -> Tuple[jax.Array, jax.Array]:
     """Exact top-k WITHOUT materializing the similarity matrix.
 
-    1. one streaming pass computes per-block maxima only (fused Pallas
-       kernel at ~70% MXU; the [T, R] sims tile never touches HBM);
-    2. exact hierarchical block selection from ``bm [T, R/128]`` (1024-row
-       superblocks, then refine — same (max desc, idx asc) containment
-       proof as :func:`_dense_chunk_topk`, applied per level);
-    3. gather the selected blocks' STORE ROWS (64 KB contiguous units) and
-       recompute their scores with one batched matmul. f32 MXU accumulation
-       only depends on the K-dimension order, so the rescored scores are
-       bitwise equal to the big matmul's — verified on hardware — and the
+    1. One streaming pass computes TWO levels of block maxima only —
+       per-``sub_block``-row and per-``block``-row — and discards the sims
+       tile while it is still in registers
+       (:func:`..topk_pallas.matmul_blockmax2_only`, transposed-operand
+       form, ~90% MXU at 768-d on a v5e). Nothing store-sized is written.
+    2. Exact two-level selection: top ``kb = min(k, n_blocks)`` blocks from
+       ``bm [T, R/block]`` (approx+certificate via :func:`_select_blocks`,
+       or an 8-superblock hierarchical refine when n_blocks is huge), then
+       the selected blocks' sub-maxima are refined to ``ks ~ k``
+       ``sub_block``-row units. The (max desc, idx asc) containment proof
+       applies unchanged at each level: if a true top-k row's unit were
+       not selected, the >= k selected units each contain an element
+       preceding it in (score desc, index asc) order.
+    3. The selected units' STORE ROWS are fetched and rescored by ONE
+       fused Pallas kernel (:func:`..topk_pallas.gather_rescore`): the
+       pipeline DMAs each candidate unit straight from HBM using
+       scalar-prefetched ids — no XLA row-take (a full source rescan per
+       call), no intermediate HBM buffer, no re-read. f32 MXU accumulation
+       depends only on the K-dimension order, so the rescored scores are
+       bitwise equal to the streaming matmul's (chip-verified) and the
        final ``top_k`` is oracle-exact, ties by lowest row id.
+    4. When the candidate row is wide (``ks * sub_block >= 4k``) it is
+       reduced per-16 and only the top-k 16-ranges are sorted — the same
+       containment proof one level down.
 
-    Wins over :func:`global_topk` when the rescore traffic beats the sims
-    write+rescan: ``k * 128 * dim_bytes * 2 < rows_local * 8`` (true for
-    10M x 256 bf16: 2.2x end to end; false for 1M x 768). Padded store rows
-    are ZERO vectors whose recomputed score (0.0) could beat valid negative
-    scores, so gathered rows past the valid count are masked to PAD_SIM.
+    Geometry (picked by the engine): high-dim stores use
+    ``(sub_block=16, block=128, cpg=8)`` — extraction traffic drops 8x vs
+    128-row units (1M x 768: 19.7 -> 2.8 MB/query); low-dim huge stores use
+    ``(sub_block=128, block=1024, cpg=4)`` — 64 KB DMA units. ``cpg`` units
+    are fetched per (query, grid step); ``cpg * sub_block`` must be a
+    multiple of 128 (the kernel's output lane width).
 
-    ``blocks_flat``: optional pre-relaid ``[rows_pad/block, block*d]`` view
-    of the shard. The TPU tiling of ``[R, D]`` and ``[NB, block*D]`` differ,
-    so reshaping in-jit materializes a full store copy per call (OOM'd the
-    10M config at T=512); the engine builds it ONCE per store and passes it
-    in. When given, its row count defines the padded row space.
+    Padded store rows are ZERO vectors whose recomputed score (0.0) could
+    beat valid negative scores, so gathered rows past the valid count are
+    masked to PAD_SIM. The reference's scan + sort-merge equivalent:
+    src/mpi_helpers/metrics.rs:16-53.
     """
     if use_pallas:
         from .topk_pallas import pallas_scoring_exact_for
@@ -458,25 +477,33 @@ def rescore_topk(
             use_pallas = False  # f32 on real TPU: Mosaic != oracle math
     rows_valid, d = shard.shape
     q = queries_cast.shape[0]
-    # block_scores processes 8 queries per grid step: keep the tile 8-aligned.
+    # gather_rescore processes 8 queries per grid step: 8-aligned tiles.
     q_tile = max(8, (min(q_tile, q) // 8) * 8) if use_pallas else max(
         1, min(q_tile, q))
     itemsize = jnp.dtype(shard.dtype).itemsize
+    if use_pallas:
+        sub = sub_block or (16 if d * itemsize >= 1024 else 128)
+        if block <= sub:
+            block = 8 * sub
+        if not cpg:
+            cpg = max(1, 128 // sub)
+        if (cpg * sub) % 128 or block % sub or sub % (
+                16 if itemsize == 2 else 8):
+            use_pallas = False  # illegal geometry: degrade to XLA
 
     # Pad rows so the bm pass tiles evenly (small copy; masked anyway).
-    if blocks_flat is not None:
-        rows_pad = blocks_flat.shape[0] * block
-    elif use_pallas:
-        rows_pad = rows_valid + (-rows_valid) % 1024
-    else:
-        rows_pad = rows_valid + (-rows_valid) % block
     if use_pallas:
-        from .topk_pallas import pick_bm_row_tile
+        rows_pad = _round_up(rows_valid, max(1024, block))
+        from .topk_pallas import pick_bm2_row_tile
 
         try:
-            pick_bm_row_tile(rows_pad, d, q_tile, block, itemsize)
+            pick_bm2_row_tile(rows_pad, d, q_tile, sub, block, itemsize)
         except ValueError:
             use_pallas = False
+    if not use_pallas:
+        sub, cpg = 0, 0
+        block = BLOCK
+        rows_pad = _round_up(rows_valid, block)
     if rows_pad != rows_valid:
         shard = jnp.pad(shard, ((0, rows_pad - rows_valid), (0, 0)))
 
@@ -484,8 +511,7 @@ def rescore_topk(
     kb = min(k, nb)
     base_i32 = base.astype(jnp.int32) if hasattr(base, "astype") else jnp.int32(base)
     total_valid = jnp.minimum(jnp.int32(rows_valid), num_rows - base_i32)
-    if blocks_flat is None:
-        blocks_flat = shard.reshape(nb, block * d)
+    int_max = jnp.iinfo(jnp.int32).max
 
     pad_q = (-q) % q_tile
     padded_queries = (
@@ -498,83 +524,120 @@ def rescore_topk(
     n_tiles = padded_queries.shape[0] // q_tile
     tiles = padded_queries.reshape(n_tiles, q_tile, d)
 
-    def tile_fn(q_block):
-        t = q_block.shape[0]
-        if use_pallas:
-            from .topk_pallas import default_interpret, matmul_blockmax_only
-
-            sims = None
-            bm = matmul_blockmax_only(
-                q_block, shard, total_valid,
-                interpret=default_interpret(), block=block,
-            ).T  # [T, NB]
-        else:
-            local_ids = jnp.arange(rows_pad, dtype=jnp.int32)
-            sims = jnp.dot(
-                q_block, shard.T, preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST,
-            )
-            sims = jnp.where((local_ids < total_valid)[None, :], sims, PAD_SIM)
-            bm = jnp.max(sims.reshape(t, nb, block), axis=2)
-
-        # -- exact hierarchical block selection -------------------------------
+    def select_blocks_hier(bm, t, kb_sel):
+        """Top ``kb_sel`` of ``bm [t, nb]`` by (max desc, idx asc),
+        hierarchically via 8-superblocks when nb is huge."""
         sup_w = 8
-        if nb >= 4 * sup_w * kb and nb % sup_w == 0:
+        if nb >= 4 * sup_w * kb_sel and nb % sup_w == 0:
             nsup = nb // sup_w
             b8 = jnp.max(bm.reshape(t, nsup, sup_w), axis=2)
-            ks = min(kb, nsup)
-            _, sup = jax.lax.top_k(b8, ks)
+            ns = min(kb_sel, nsup)
+            _, sup = jax.lax.top_k(b8, ns)
             sup = jnp.sort(sup, axis=1)  # ascending: oracle tie order
             cand_bm = jnp.take_along_axis(
                 bm.reshape(t, nsup, sup_w), sup[:, :, None], axis=1
-            ).reshape(t, ks * sup_w)
+            ).reshape(t, ns * sup_w)
             cand_bids = (
                 sup[:, :, None] * sup_w
                 + jnp.arange(sup_w, dtype=jnp.int32)[None, None, :]
-            ).reshape(t, ks * sup_w)
-            _, pos = jax.lax.top_k(cand_bm, kb)
+            ).reshape(t, ns * sup_w)
+            _, pos = jax.lax.top_k(cand_bm, kb_sel)
             bids = jnp.take_along_axis(cand_bids, pos, axis=1)
         else:
-            _, bids = jax.lax.top_k(bm, kb)
-        bids = jnp.sort(bids, axis=1)
+            bids = _select_blocks(bm, kb_sel)
+        return jnp.sort(bids, axis=1)
 
-        # -- candidate scores ---------------------------------------------------
-        if sims is None:
-            # Gather the selected blocks' STORE ROWS and rescore them with
-            # the Mosaic-dot kernel: the SAME primitive + accumulation
-            # order as the bm pass, bitwise equal to the oracle's matmul
-            # for bf16. (A plain einsum lets XLA pick a different reduction
-            # order — measured index flips vs the oracle at near-ties.)
-            from .topk_pallas import block_scores, default_interpret
-
-            g = jnp.take(blocks_flat, bids.reshape(-1), axis=0)
-            g = g.reshape(t, kb * block, d)
-            cand_sims = block_scores(
-                q_block, g, interpret=default_interpret()
-            )
-        else:
-            # XLA branch (CPU tests, f32 shards): sims exist — take the
-            # candidate values straight from them, no re-scoring at all.
+    def finalize(cand_sims, cand_ids, t):
+        """Final exact top-k over the candidate row; wide rows are first
+        reduced per-16 and only the top-k ranges sorted (containment proof
+        as in :func:`_merge_blockmax`; ranges are ordered by ascending
+        global row so first-occurrence keeps the oracle tie order)."""
+        c = cand_sims.shape[1]
+        if c >= 4 * k and c % 16 == 0:
+            nr = c // 16
+            s3 = cand_sims.reshape(t, nr, 16)
+            rm = jnp.max(s3, axis=2)
+            kr = min(k, nr)
+            _, rpos = jax.lax.top_k(rm, kr)
+            rpos = jnp.sort(rpos, axis=1)
             cand_sims = jnp.take_along_axis(
-                sims.reshape(t, nb, block), bids[:, :, None], axis=1
-            ).reshape(t, kb * block)
+                s3, rpos[:, :, None], axis=1
+            ).reshape(t, kr * 16)
+            cand_ids = jnp.take_along_axis(
+                cand_ids.reshape(t, nr, 16), rpos[:, :, None], axis=1
+            ).reshape(t, kr * 16)
+        if cand_sims.shape[1] < k:
+            pad = k - cand_sims.shape[1]
+            cand_sims = jnp.pad(cand_sims, ((0, 0), (0, pad)),
+                                constant_values=PAD_SIM)
+            cand_ids = jnp.pad(cand_ids, ((0, 0), (0, pad)),
+                               constant_values=int_max)
+        top_vals, pos = jax.lax.top_k(cand_sims, k)
+        return top_vals, jnp.take_along_axis(cand_ids, pos, axis=1)
+
+    def tile_fn(q_block):
+        t = q_block.shape[0]
+        from .topk_pallas import default_interpret
+
+        if use_pallas:
+            from .topk_pallas import gather_rescore, matmul_blockmax2_only
+
+            bms_t, bm_t = matmul_blockmax2_only(
+                q_block, shard, total_valid,
+                interpret=default_interpret(), sub=sub, block=block,
+            )
+            spb = block // sub            # sub-units per block
+            bids = select_blocks_hier(bm_t.T, t, kb)
+            # refine: selected blocks' sub-maxima -> top-ks sub-units
+            cand_bm = jnp.take_along_axis(
+                bms_t.T.reshape(t, nb, spb), bids[:, :, None], axis=1
+            ).reshape(t, kb * spb)
+            cand_uids = (
+                bids[:, :, None] * spb
+                + jnp.arange(spb, dtype=jnp.int32)[None, None, :]
+            ).reshape(t, kb * spb)
+            pool = kb * spb
+            ks = min(_round_up(k, cpg), pool - pool % cpg)
+            ks = max(ks, cpg)
+            _, pos = jax.lax.top_k(cand_bm, ks)
+            uids = jnp.take_along_axis(cand_uids, pos, axis=1)
+            uids = jnp.sort(uids, axis=1)  # ascending: oracle tie order
+            cand_sims = gather_rescore(
+                q_block, shard, uids, unit=sub, cpg=cpg,
+                interpret=default_interpret(),
+            )                              # [T, ks*sub]
+            local_rows = (
+                uids[:, :, None] * sub
+                + jnp.arange(sub, dtype=jnp.int32)[None, None, :]
+            ).reshape(t, ks * sub)
+            cand_sims = jnp.where(local_rows < total_valid, cand_sims,
+                                  PAD_SIM)
+            cand_ids = jnp.where(local_rows < total_valid,
+                                 base_i32 + local_rows, int_max)
+            return finalize(cand_sims, cand_ids, t)
+
+        # ---- XLA branch (CPU tests, f32 shards) ----------------------------
+        local_ids = jnp.arange(rows_pad, dtype=jnp.int32)
+        sims = jnp.dot(
+            q_block, shard.T, preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        sims = jnp.where((local_ids < total_valid)[None, :], sims, PAD_SIM)
+        bm = jnp.max(sims.reshape(t, nb, block), axis=2)
+        bids = select_blocks_hier(bm, t, kb)
+        # sims exist — take the candidate values straight from them.
+        cand_sims = jnp.take_along_axis(
+            sims.reshape(t, nb, block), bids[:, :, None], axis=1
+        ).reshape(t, kb * block)
         local_rows = (
             bids[:, :, None] * block
             + jnp.arange(block, dtype=jnp.int32)[None, None, :]
         ).reshape(t, kb * block)
         cand_sims = jnp.where(local_rows < total_valid, cand_sims, PAD_SIM)
         cand_ids = jnp.where(
-            local_rows < total_valid, base_i32 + local_rows,
-            jnp.iinfo(jnp.int32).max,
+            local_rows < total_valid, base_i32 + local_rows, int_max
         )
-        if kb * block < k:
-            pad = k - kb * block
-            cand_sims = jnp.pad(cand_sims, ((0, 0), (0, pad)),
-                                constant_values=PAD_SIM)
-            cand_ids = jnp.pad(cand_ids, ((0, 0), (0, pad)),
-                               constant_values=jnp.iinfo(jnp.int32).max)
-        top_vals, pos = jax.lax.top_k(cand_sims, k)
-        return top_vals, jnp.take_along_axis(cand_ids, pos, axis=1)
+        return finalize(cand_sims, cand_ids, t)
 
     vals, ids = jax.lax.map(tile_fn, tiles)
     vals = vals.reshape(n_tiles * q_tile, k)[:q]

@@ -249,6 +249,224 @@ def matmul_blockmax_only(
     return bm_t
 
 
+def _make_bm2t_kernel(sub: int, block: int):
+    def _kernel(limit_ref, q_ref, s_ref, bms_ref, bm_ref):
+        """One row tile, TRANSPOSED similarity: ``dot(store_tile [RT, D],
+        q [T, D]) -> sims_t [RT, T]`` so row groups live on the SUBLANE
+        axis, where Mosaic supports non-128 reshape splits — the lane-axis
+        split ``(T, RT) -> (T, RT/sub, sub)`` does not compile for
+        sub != 128. The swapped-operand Mosaic bf16 dot is bitwise equal
+        to XLA's HIGHEST matmul (chip-verified), so both blockmax levels
+        are exact attained maxima of the oracle's scores."""
+        sims_t = jax.lax.dot_general(
+            s_ref[:],
+            q_ref[:],
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [RT, T] f32
+        rt, t = sims_t.shape
+        row0 = pl.program_id(0) * rt
+        local = row0 + jax.lax.broadcasted_iota(jnp.int32, (rt, 1), 0)
+        sims_t = jnp.where(local < limit_ref[0], sims_t, PAD_SIM)
+        bms = jnp.max(sims_t.reshape(rt // sub, sub, t), axis=1)
+        bms_ref[:] = bms
+        bm_ref[:] = jnp.max(bms.reshape(rt // block, block // sub, t), axis=1)
+
+    return _kernel
+
+
+def pick_bm2_row_tile(rows: int, dim: int, q_tile: int, sub: int,
+                      block: int, itemsize: int) -> int:
+    """Row tile for the two-level bm pass. Budget: double-buffered store
+    tile + both transposed bm outputs + resident query tile + the
+    in-register sims tile."""
+    def vmem(rt: int) -> int:
+        return (2 * rt * dim * itemsize
+                + 2 * (rt // sub) * q_tile * 4
+                + 2 * (rt // block) * q_tile * 4
+                + q_tile * dim * itemsize
+                + q_tile * rt * 4)
+
+    for rt in (2048, 1024, 512):
+        if rows % rt or rt % block:
+            continue
+        if vmem(rt) <= 12 * 1024 * 1024:
+            return rt
+    if (rows % block == 0 and rows <= 2048
+            and vmem(rows) // 2 <= 12 * 1024 * 1024):
+        return rows
+    raise ValueError(
+        f"no bm2 row tile divides rows={rows} (dim={dim}, q={q_tile})"
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("interpret", "sub", "block"))
+def matmul_blockmax2_only(
+    queries: jax.Array,
+    shard: jax.Array,
+    valid_rows: jax.Array,
+    *,
+    interpret: bool = False,
+    sub: int = 16,
+    block: int = BLOCK,
+) -> Tuple[jax.Array, jax.Array]:
+    """Two-level block maxima ``(bm_sub [R/sub, T], bm [R/block, T])``
+    without materializing similarities: one streaming pass reduces each
+    transposed sims tile to per-``sub``-row and per-``block``-row maxima
+    in VMEM and discards it. Feeds the two-level sims-free selection for
+    high-dim stores (select blocks from ``bm``, refine to ``sub``-row
+    units from ``bm_sub``, then :func:`gather_rescore` fetches only
+    ``~k * sub`` store rows per query).
+
+    ``R`` must be a multiple of the row tile (2048/1024/512) and of
+    ``block``; ``sub`` must divide ``block``."""
+    t, d = queries.shape
+    r, d2 = shard.shape
+    if d != d2:
+        raise ValueError(f"dim mismatch {d} vs {d2}")
+    if block % sub:
+        raise ValueError(f"sub {sub} must divide block {block}")
+    rt = pick_bm2_row_tile(r, d, t, sub, block,
+                           jnp.dtype(shard.dtype).itemsize)
+    limit = jnp.asarray(valid_rows, dtype=jnp.int32).reshape((1,))
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(r // rt,),
+        in_specs=[
+            pl.BlockSpec((t, d), lambda i, *_: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((rt, d), lambda i, *_: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((rt // sub, t), lambda i, *_: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((rt // block, t), lambda i, *_: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+    )
+    bms, bm = pl.pallas_call(
+        _make_bm2t_kernel(sub, block),
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((r // sub, t), jnp.float32),
+            jax.ShapeDtypeStruct((r // block, t), jnp.float32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * t * d * r,
+            bytes_accessed=t * d * 2 + r * d * 2 + (r // sub) * t * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(limit, queries, shard)
+    return bms, bm
+
+
+def _make_gather_rescore_kernel(cpg: int):
+    def _kernel(ids_ref, q_ref, *refs):
+        """One (8-query group, candidate-slot group) cell: the Pallas
+        pipeline has already DMA'd each query's ``cpg`` candidate units
+        into VMEM (the BlockSpec index maps read the scalar-prefetched
+        ids); concatenate them per query and run ONE rank-2 dot, keeping
+        row r — bitwise identical to a 1-row matmul and hence to the
+        streaming bm pass (same K accumulation order)."""
+        o_ref = refs[-1]
+        for r in range(8):
+            if cpg == 1:
+                cat = refs[r][:]
+            else:
+                cat = jnp.concatenate(
+                    [refs[r * cpg + u][:] for u in range(cpg)], axis=0
+                )
+            s = jax.lax.dot_general(
+                q_ref[:],
+                cat,
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # [8, cpg*unit]
+            o_ref[r, :] = s[r, :]
+
+    return _kernel
+
+
+@functools.partial(jax.jit, static_argnames=("interpret", "unit", "cpg"))
+def gather_rescore(
+    queries: jax.Array,
+    shard: jax.Array,
+    ids: jax.Array,
+    *,
+    unit: int = BLOCK,
+    cpg: int = 1,
+    interpret: bool = False,
+) -> jax.Array:
+    """Fused candidate gather + rescore: ``scores [T, KS*unit] f32`` of
+    each query against its own ``KS`` selected ``unit``-row store blocks
+    (``ids [T, KS]`` int32 block ids into ``shard [R, D]``).
+
+    The round-2 rescore path gathered candidate rows with an XLA row-take
+    (a full source rescan per call) into an HBM buffer that
+    :func:`block_scores` then re-read. Here the candidate blocks are
+    DMA'd STRAIGHT from the store in HBM by the Pallas pipeline itself —
+    BlockSpec index maps may read the scalar-prefetched ids, so the
+    double-buffered fetch of query g's candidate j happens while cell
+    (g, j-1) computes. Traffic = exactly the candidate bytes, read once:
+    no rescan, no intermediate buffer, no second read. (Measured v5e:
+    ~2.2x over take+block_scores at 10M x 256, and it scales with
+    candidate bytes instead of store size.)
+
+    Constraints: ``T % 8 == 0``; ``KS % cpg == 0``; ``(cpg * unit) % 128
+    == 0`` (output lane width); ``R % unit == 0``; every id in
+    ``[0, R/unit)``. For bf16 shards ``unit`` must be a multiple of 16
+    (the sublane tile). Scores are bitwise equal to the streaming
+    matmul's (same Mosaic dot pattern as :func:`block_scores`)."""
+    t, d = queries.shape
+    r, d2 = shard.shape
+    t2, ks = ids.shape
+    if d != d2 or t != t2:
+        raise ValueError(
+            f"shape mismatch: queries {queries.shape}, shard {shard.shape},"
+            f" ids {ids.shape}"
+        )
+    if t % 8 or ks % cpg or (cpg * unit) % 128 or r % unit:
+        raise ValueError(
+            f"layout: need T%8==0 (got {t}), KS%cpg==0 (got {ks}%{cpg}),"
+            f" cpg*unit%128==0 (got {cpg}*{unit}), R%unit==0 (got {r}%{unit})"
+        )
+
+    def store_spec(r_, u_):
+        return pl.BlockSpec(
+            (unit, d),
+            lambda g, j, ids_ref, r_=r_, u_=u_: (
+                ids_ref[8 * g + r_, j * cpg + u_], 0
+            ),
+            memory_space=pltpu.VMEM,
+        )
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(t // 8, ks // cpg),
+        in_specs=[
+            pl.BlockSpec((8, d), lambda g, j, ids_ref: (g, 0),
+                         memory_space=pltpu.VMEM),
+        ] + [store_spec(r_, u_) for r_ in range(8) for u_ in range(cpg)],
+        out_specs=[
+            pl.BlockSpec((8, cpg * unit), lambda g, j, ids_ref: (g, j),
+                         memory_space=pltpu.VMEM),
+        ],
+    )
+    (out,) = pl.pallas_call(
+        _make_gather_rescore_kernel(cpg),
+        grid_spec=grid_spec,
+        out_shape=[jax.ShapeDtypeStruct((t, ks * unit), jnp.float32)],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * t * ks * unit * d,
+            bytes_accessed=t * d * 2 + t * ks * unit * d * 2
+            + t * ks * unit * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(ids, queries, *([shard] * (8 * cpg)))
+    return out
+
+
 def _pick_score_ctile(c: int, d: int, itemsize: int) -> int:
     """Largest candidate tile (multiple of 128 dividing ``c``) whose
     double-buffered 8-query block of rows fits ~8 MB of VMEM."""

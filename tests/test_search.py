@@ -352,9 +352,9 @@ def test_rescore_hierarchical_selection_path(mesh8):
 
 
 def test_rescore_pallas_branch_interpret(mesh8):
-    """Force the Pallas rescore branch (bm-only kernel + block_scores
-    scorer, interpret mode on CPU) and check oracle exactness — the branch
-    the engine takes on real TPUs with bf16 shards."""
+    """Force the Pallas rescore branch (two-level bm pass + fused
+    gather_rescore, interpret mode on CPU) and check oracle exactness —
+    the branch the engine takes on real TPUs with bf16 shards."""
     from better_search_rag_rust_tpu.ops.topk import rescore_topk, serial_topk
 
     rng = np.random.default_rng(90)
@@ -371,3 +371,88 @@ def test_rescore_pallas_branch_interpret(mesh8):
     )
     o_ids, _ = serial_topk(mat, queries, 11)
     np.testing.assert_array_equal(np.asarray(ids), o_ids)
+
+
+def test_rescore_pallas_two_level_high_dim_interpret(mesh8):
+    """The high-dim geometry (sub_block=16, cpg=8): two-level bm pass +
+    16-row-unit fused gather, interpret mode. Duplicates, a zero row and
+    anti-correlated queries exercise tie and masking discipline."""
+    from better_search_rag_rust_tpu.ops.topk import rescore_topk, serial_topk
+
+    rng = np.random.default_rng(91)
+    mat = rng.standard_normal((3100, 768)).astype(np.float32)
+    mat[700] = mat[3]
+    mat[2000:2010] = mat[50]
+    mat[123] = 0.0
+    norms = np.linalg.norm(mat, axis=1, keepdims=True)
+    mat /= np.where(norms == 0, 1.0, norms)
+    queries = np.concatenate([
+        mat[rng.integers(0, 3100, 6)],
+        -mat[:2],
+    ])
+
+    import jax.numpy as jnp
+
+    for k in (1, 10, 100):
+        vals, ids = rescore_topk(
+            jnp.asarray(mat), jnp.asarray(queries), k, jnp.int32(0), 3100,
+            q_tile=8, use_pallas=True, sub_block=16, block=128, cpg=8,
+        )
+        o_ids, _ = serial_topk(mat, queries, k)
+        np.testing.assert_array_equal(np.asarray(ids), o_ids, err_msg=f"k={k}")
+
+
+def test_gather_rescore_kernel_interpret():
+    """gather_rescore fetches each query's own candidate units straight
+    from the store ref and reproduces the big matmul's scores exactly
+    (interpret mode computes exact f32)."""
+    import jax.numpy as jnp
+    from better_search_rag_rust_tpu.ops.topk_pallas import gather_rescore
+
+    rng = np.random.default_rng(92)
+    R, D, T, KS, unit, cpg = 2048, 256, 16, 8, 16, 8
+    mat = rng.standard_normal((R, D)).astype(np.float32)
+    qs = rng.standard_normal((T, D)).astype(np.float32)
+    ids = np.sort(
+        rng.integers(0, R // unit, size=(T, KS)).astype(np.int32), axis=1
+    )
+    out = np.asarray(gather_rescore(
+        jnp.asarray(qs), jnp.asarray(mat), jnp.asarray(ids),
+        unit=unit, cpg=cpg, interpret=True,
+    ))
+    direct = qs @ mat.T
+    for t in range(T):
+        for j in range(KS):
+            u = ids[t, j]
+            np.testing.assert_allclose(
+                out[t, j * unit:(j + 1) * unit],
+                direct[t, u * unit:(u + 1) * unit], rtol=1e-5,
+            )
+
+
+def test_matmul_blockmax2_interpret():
+    """The two-level transposed bm pass emits exact attained maxima at
+    both levels and masks padded rows."""
+    import jax.numpy as jnp
+    from better_search_rag_rust_tpu.ops.topk_pallas import (
+        matmul_blockmax2_only,
+    )
+
+    rng = np.random.default_rng(93)
+    R, D, T, valid = 2048, 128, 16, 1900
+    mat = rng.standard_normal((R, D)).astype(np.float32)
+    qs = rng.standard_normal((T, D)).astype(np.float32)
+    bms, bm = matmul_blockmax2_only(
+        jnp.asarray(qs), jnp.asarray(mat), valid,
+        interpret=True, sub=16, block=128,
+    )
+    sims = qs @ mat.T
+    sims[:, valid:] = -3.0
+    np.testing.assert_allclose(
+        np.asarray(bms).T, sims.reshape(T, R // 16, 16).max(axis=2),
+        rtol=1e-5,
+    )
+    np.testing.assert_allclose(
+        np.asarray(bm).T, sims.reshape(T, R // 128, 128).max(axis=2),
+        rtol=1e-5,
+    )
