@@ -580,17 +580,37 @@ def rescore_topk(
         from .topk_pallas import default_interpret
 
         if use_pallas:
-            from .topk_pallas import gather_rescore, matmul_blockmax2_only
-
-            bms_t, bm_t = matmul_blockmax2_only(
-                q_block, shard, total_valid,
-                interpret=default_interpret(), sub=sub, block=block,
+            from .topk_pallas import (
+                bm2_emits_block, gather_rescore, matmul_blockmax2_only,
+                pick_bm2_row_tile,
             )
+
+            rt = pick_bm2_row_tile(rows_pad, d, t, sub, block, itemsize)
+            fused = bm2_emits_block(rows_pad, rt, block, t)
+            if fused:
+                bms_t, bm_t = matmul_blockmax2_only(
+                    q_block, shard, total_valid,
+                    interpret=default_interpret(), sub=sub, block=block,
+                    emit_block=True,
+                )
+                bm = bm_t.T
+            else:
+                bms_t = matmul_blockmax2_only(
+                    q_block, shard, total_valid,
+                    interpret=default_interpret(), sub=sub, block=block,
+                )
+                bm = None
             spb = block // sub            # sub-units per block
-            bids = select_blocks_hier(bm_t.T, t, kb)
+            bms3 = bms_t.T.reshape(t, nb, spb)
+            if bm is None:
+                # block level reduces in XLA from the (small) sub maxima;
+                # max is order-independent so both levels stay exact
+                # attained maxima of the oracle's scores.
+                bm = jnp.max(bms3, axis=2)
+            bids = select_blocks_hier(bm, t, kb)
             # refine: selected blocks' sub-maxima -> top-ks sub-units
             cand_bm = jnp.take_along_axis(
-                bms_t.T.reshape(t, nb, spb), bids[:, :, None], axis=1
+                bms3, bids[:, :, None], axis=1
             ).reshape(t, kb * spb)
             cand_uids = (
                 bids[:, :, None] * spb

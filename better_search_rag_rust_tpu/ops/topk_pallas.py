@@ -249,14 +249,14 @@ def matmul_blockmax_only(
     return bm_t
 
 
-def _make_bm2t_kernel(sub: int, block: int):
-    def _kernel(limit_ref, q_ref, s_ref, bms_ref, bm_ref):
+def _make_bm2t_kernel(sub: int, block: int, emit_block: bool):
+    def _kernel(limit_ref, q_ref, s_ref, *out_refs):
         """One row tile, TRANSPOSED similarity: ``dot(store_tile [RT, D],
         q [T, D]) -> sims_t [RT, T]`` so row groups live on the SUBLANE
         axis, where Mosaic supports non-128 reshape splits — the lane-axis
         split ``(T, RT) -> (T, RT/sub, sub)`` does not compile for
         sub != 128. The swapped-operand Mosaic bf16 dot is bitwise equal
-        to XLA's HIGHEST matmul (chip-verified), so both blockmax levels
+        to XLA's HIGHEST matmul (chip-verified), so the emitted maxima
         are exact attained maxima of the oracle's scores."""
         sims_t = jax.lax.dot_general(
             s_ref[:],
@@ -269,38 +269,55 @@ def _make_bm2t_kernel(sub: int, block: int):
         local = row0 + jax.lax.broadcasted_iota(jnp.int32, (rt, 1), 0)
         sims_t = jnp.where(local < limit_ref[0], sims_t, PAD_SIM)
         bms = jnp.max(sims_t.reshape(rt // sub, sub, t), axis=1)
-        bms_ref[:] = bms
-        bm_ref[:] = jnp.max(bms.reshape(rt // block, block // sub, t), axis=1)
+        out_refs[0][:] = bms
+        if emit_block:
+            out_refs[1][:] = jnp.max(
+                bms.reshape(rt // block, block // sub, t), axis=1)
 
     return _kernel
 
 
 def pick_bm2_row_tile(rows: int, dim: int, q_tile: int, sub: int,
                       block: int, itemsize: int) -> int:
-    """Row tile for the two-level bm pass. Budget: double-buffered store
-    tile + both transposed bm outputs + resident query tile + the
-    in-register sims tile."""
+    """Row tile for the transposed bm pass. Budget: double-buffered store
+    tile + transposed bm_sub output + resident query tile + the
+    in-register sims tile. The output tile ``(rt/sub, t)`` needs an
+    8-aligned sublane dim unless it spans the whole array (Mosaic block
+    legality), hence ``rt >= 8 * sub`` for multi-tile grids."""
     def vmem(rt: int) -> int:
         return (2 * rt * dim * itemsize
                 + 2 * (rt // sub) * q_tile * 4
-                + 2 * (rt // block) * q_tile * 4
                 + q_tile * dim * itemsize
                 + q_tile * rt * 4)
 
     for rt in (2048, 1024, 512):
-        if rows % rt or rt % block:
+        if rows % rt or rt % block or rt < 8 * sub:
             continue
         if vmem(rt) <= 12 * 1024 * 1024:
             return rt
-    if (rows % block == 0 and rows <= 2048
-            and vmem(rows) // 2 <= 12 * 1024 * 1024):
+    # Single-tile fallback: a block equal to the full array dim is always
+    # layout-legal (and single-step grids don't double-buffer).
+    if rows % block == 0 and rows <= 4096 and vmem(rows) // 2 <= 12 * 1024 * 1024:
         return rows
     raise ValueError(
-        f"no bm2 row tile divides rows={rows} (dim={dim}, q={q_tile})"
+        f"no bm2 row tile divides rows={rows} (dim={dim}, q={q_tile},"
+        f" sub={sub}, block={block})"
     )
 
 
-@functools.partial(jax.jit, static_argnames=("interpret", "sub", "block"))
+def bm2_emits_block(rows: int, rt: int, block: int, q_tile: int) -> bool:
+    """Whether the pass can ALSO emit the block-level maxima in-kernel:
+    the ``(rt/block, t)`` output tile needs an 8-divisible sublane dim
+    (or the full array) and a 128-divisible lane dim (or the full array)
+    to be Mosaic-legal. When illegal the caller reduces bm_sub in XLA
+    instead (one extra read of the already-small bm_sub)."""
+    del q_tile  # the lane dim of the output tile always spans the array
+    return (rt // block) % 8 == 0 or rt == rows
+
+
+@functools.partial(
+    jax.jit, static_argnames=("interpret", "sub", "block", "emit_block")
+)
 def matmul_blockmax2_only(
     queries: jax.Array,
     shard: jax.Array,
@@ -309,17 +326,23 @@ def matmul_blockmax2_only(
     interpret: bool = False,
     sub: int = 16,
     block: int = BLOCK,
-) -> Tuple[jax.Array, jax.Array]:
-    """Two-level block maxima ``(bm_sub [R/sub, T], bm [R/block, T])``
-    without materializing similarities: one streaming pass reduces each
-    transposed sims tile to per-``sub``-row and per-``block``-row maxima
-    in VMEM and discards it. Feeds the two-level sims-free selection for
-    high-dim stores (select blocks from ``bm``, refine to ``sub``-row
-    units from ``bm_sub``, then :func:`gather_rescore` fetches only
-    ``~k * sub`` store rows per query).
+    emit_block: bool = False,
+):
+    """Sub-block maxima ``bm_sub [R/sub, T]`` without materializing
+    similarities: one streaming pass reduces each transposed sims tile to
+    per-``sub``-row maxima in VMEM and discards it (~90% MXU at 768-d on
+    a v5e). Feeds the two-level sims-free selection: blocks are selected
+    from the per-``block`` maxima, refined to ``~k`` sub-units, then
+    :func:`gather_rescore` fetches only ``~k * sub`` store rows per query.
 
-    ``R`` must be a multiple of the row tile (2048/1024/512) and of
-    ``block``; ``sub`` must divide ``block``."""
+    With ``emit_block`` (legal per :func:`bm2_emits_block`) the pass also
+    emits ``bm [R/block, T]`` fused — saving the caller an XLA re-read of
+    bm_sub (~0.7 ms per [512, 1M] tile) — and returns ``(bm_sub, bm)``;
+    otherwise returns ``bm_sub`` alone and the caller reduces in XLA (max
+    is order-independent, so both forms give identical exact maxima).
+
+    ``R`` must be a multiple of the row tile and of ``block``; ``sub``
+    must divide ``block``."""
     t, d = queries.shape
     r, d2 = shard.shape
     if d != d2:
@@ -328,7 +351,23 @@ def matmul_blockmax2_only(
         raise ValueError(f"sub {sub} must divide block {block}")
     rt = pick_bm2_row_tile(r, d, t, sub, block,
                            jnp.dtype(shard.dtype).itemsize)
+    if emit_block and not bm2_emits_block(r, rt, block, t):
+        raise ValueError(
+            f"emit_block illegal at rt={rt}, block={block} (sublane"
+            f" {rt // block} not 8-divisible); reduce bm_sub in XLA instead"
+        )
     limit = jnp.asarray(valid_rows, dtype=jnp.int32).reshape((1,))
+    out_specs = [
+        pl.BlockSpec((rt // sub, t), lambda i, *_: (i, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    out_shape = [jax.ShapeDtypeStruct((r // sub, t), jnp.float32)]
+    if emit_block:
+        out_specs.append(
+            pl.BlockSpec((rt // block, t), lambda i, *_: (i, 0),
+                         memory_space=pltpu.VMEM)
+        )
+        out_shape.append(jax.ShapeDtypeStruct((r // block, t), jnp.float32))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(r // rt,),
@@ -336,20 +375,12 @@ def matmul_blockmax2_only(
             pl.BlockSpec((t, d), lambda i, *_: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((rt, d), lambda i, *_: (i, 0), memory_space=pltpu.VMEM),
         ],
-        out_specs=[
-            pl.BlockSpec((rt // sub, t), lambda i, *_: (i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((rt // block, t), lambda i, *_: (i, 0),
-                         memory_space=pltpu.VMEM),
-        ],
+        out_specs=out_specs,
     )
-    bms, bm = pl.pallas_call(
-        _make_bm2t_kernel(sub, block),
+    out = pl.pallas_call(
+        _make_bm2t_kernel(sub, block, emit_block),
         grid_spec=grid_spec,
-        out_shape=[
-            jax.ShapeDtypeStruct((r // sub, t), jnp.float32),
-            jax.ShapeDtypeStruct((r // block, t), jnp.float32),
-        ],
+        out_shape=out_shape,
         cost_estimate=pl.CostEstimate(
             flops=2 * t * d * r,
             bytes_accessed=t * d * 2 + r * d * 2 + (r // sub) * t * 4,
@@ -357,7 +388,7 @@ def matmul_blockmax2_only(
         ),
         interpret=interpret,
     )(limit, queries, shard)
-    return bms, bm
+    return (out[0], out[1]) if emit_block else out[0]
 
 
 def _make_gather_rescore_kernel(cpg: int):

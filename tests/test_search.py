@@ -431,8 +431,8 @@ def test_gather_rescore_kernel_interpret():
 
 
 def test_matmul_blockmax2_interpret():
-    """The two-level transposed bm pass emits exact attained maxima at
-    both levels and masks padded rows."""
+    """The transposed bm pass emits exact attained sub-maxima and masks
+    padded rows."""
     import jax.numpy as jnp
     from better_search_rag_rust_tpu.ops.topk_pallas import (
         matmul_blockmax2_only,
@@ -442,7 +442,7 @@ def test_matmul_blockmax2_interpret():
     R, D, T, valid = 2048, 128, 16, 1900
     mat = rng.standard_normal((R, D)).astype(np.float32)
     qs = rng.standard_normal((T, D)).astype(np.float32)
-    bms, bm = matmul_blockmax2_only(
+    bms = matmul_blockmax2_only(
         jnp.asarray(qs), jnp.asarray(mat), valid,
         interpret=True, sub=16, block=128,
     )
@@ -450,9 +450,5 @@ def test_matmul_blockmax2_interpret():
     sims[:, valid:] = -3.0
     np.testing.assert_allclose(
         np.asarray(bms).T, sims.reshape(T, R // 16, 16).max(axis=2),
-        rtol=1e-5,
-    )
-    np.testing.assert_allclose(
-        np.asarray(bm).T, sims.reshape(T, R // 128, 128).max(axis=2),
         rtol=1e-5,
     )
