@@ -18,7 +18,7 @@ exactly once — the reference instead pays a new ONNX shape per ragged batch.
 
 from __future__ import annotations
 
-from typing import Optional, Protocol, Sequence
+from typing import NamedTuple, Optional, Protocol, Sequence
 
 import numpy as np
 
@@ -33,6 +33,29 @@ class TokenEncoder(Protocol):
     def encode_tokens(
         self, input_ids: np.ndarray, attention_mask: np.ndarray
     ) -> np.ndarray: ...
+
+
+class TokenBatch(NamedTuple):
+    """Tokenized text batch, ready for the device forward.
+
+    ``groups`` maps token rows to document indices when ``long_doc="mean"``
+    windowing expanded documents into multiple rows; ``None`` otherwise.
+    """
+
+    ids: np.ndarray
+    mask: np.ndarray
+    groups: Optional[np.ndarray]
+    n_docs: int
+
+
+class PendingEmbeddings(NamedTuple):
+    """In-flight device forward: collect with
+    :meth:`EncoderService.collect`. ``buffers`` holds one async device
+    array (or eager host array) per fixed-size sub-batch."""
+
+    buffers: list
+    tb: TokenBatch
+    n_rows: int
 
 
 class EncoderService:
@@ -62,10 +85,35 @@ class EncoderService:
         #: silent — embeddings differ at bf16-noise level across impls.
         self.numerics: dict = {}
 
-    def _encode_rows(self, ids: np.ndarray, mask: np.ndarray) -> np.ndarray:
-        """Run ``[N, S]`` token rows through the device forward in fixed
-        ``batch_size`` slices (zero-mask padding rows for the ragged tail)."""
-        n = ids.shape[0]
+    def tokenize(self, texts: Sequence[str]) -> TokenBatch:
+        """Stage 1 (pure host work, thread-safe): texts -> token rows.
+
+        Split out from :meth:`get_embeddings` so ingest can run it on a
+        background thread, hiding tokenization (~0.5 ms/doc in pure Python)
+        under the previous batch's device forward. Raises on empty strings
+        (contract: "Invalid inputs: has empty values", src/llm/hf.rs:54-56).
+        """
+        n = len(texts)
+        if n == 0:
+            empty = np.zeros((0, 0), dtype=np.int32)
+            return TokenBatch(empty, empty, None, 0)
+        if self.long_doc == "mean" and hasattr(
+            self.tokenizer, "encode_batch_windows"
+        ):
+            ids, mask, groups = self.tokenizer.encode_batch_windows(texts)
+            return TokenBatch(ids, mask, groups, n)
+        ids, mask = self.tokenizer.encode_batch(texts)  # raises on empty text
+        return TokenBatch(ids, mask, None, n)
+
+    def dispatch(self, tb: TokenBatch) -> PendingEmbeddings:
+        """Stage 2: launch the device forward for every fixed-``batch_size``
+        sub-batch WITHOUT waiting (zero-mask padding rows for the ragged
+        tail). Returns immediately with async device buffers; the caller may
+        dispatch the next batch (or do host work) before :meth:`collect`."""
+        n = tb.ids.shape[0]
+        if n == 0:
+            return PendingEmbeddings([], tb, 0)
+        ids, mask = tb.ids, tb.mask
         bs = self.batch_size
         padded_n = -(-n // bs) * bs
         if padded_n != n:
@@ -77,29 +125,45 @@ class EncoderService:
             mask = np.concatenate(
                 [mask, np.zeros((pad_rows, mask.shape[1]), dtype=mask.dtype)]
             )
-        out = np.empty((padded_n, self.dim), dtype=np.float32)
         dev_fwd = getattr(self.encoder, "encode_tokens_device", None)
         if dev_fwd is not None:
-            # Dispatch every sub-batch to the device first, THEN pull
-            # results: host transfers of batch i overlap the forward of
-            # batch i+1 (a per-batch sync costs ~26 ms through a relayed
-            # chip and serializes the pipeline otherwise).
-            pending = [
+            buffers = [
                 dev_fwd(ids[s: s + bs], mask[s: s + bs])
                 for s in range(0, padded_n, bs)
             ]
-            import jax
-
-            for i, buf in enumerate(pending):
-                out[i * bs: (i + 1) * bs] = np.asarray(
-                    jax.device_get(buf), dtype=np.float32
-                )
         else:
-            for start in range(0, padded_n, bs):
-                out[start: start + bs] = self.encoder.encode_tokens(
-                    ids[start: start + bs], mask[start: start + bs]
+            buffers = [
+                self.encoder.encode_tokens(
+                    ids[s: s + bs], mask[s: s + bs]
                 )
-        return out[:n]
+                for s in range(0, padded_n, bs)
+            ]
+        return PendingEmbeddings(buffers, tb, n)
+
+    def collect(self, pending: PendingEmbeddings) -> np.ndarray:
+        """Stage 3: pull the forward's results to host and reduce windows.
+        ``-> [n_docs, dim]`` float32."""
+        tb = pending.tb
+        if pending.n_rows == 0:
+            return np.zeros((tb.n_docs, self.dim), dtype=np.float32)
+        import jax
+
+        bs = self.batch_size
+        out = np.empty((len(pending.buffers) * bs, self.dim), dtype=np.float32)
+        for i, buf in enumerate(pending.buffers):
+            out[i * bs: (i + 1) * bs] = np.asarray(
+                jax.device_get(buf), dtype=np.float32
+            )
+        rows = out[: pending.n_rows]
+        if tb.groups is None:
+            return rows
+        # long_doc="mean": mean-pool each document's windows, re-normalize.
+        agg = np.zeros((tb.n_docs, self.dim), dtype=np.float32)
+        np.add.at(agg, tb.groups, rows)
+        counts = np.bincount(tb.groups, minlength=tb.n_docs).reshape(-1, 1)
+        agg /= np.maximum(counts, 1)
+        norms = np.linalg.norm(agg, axis=1, keepdims=True)
+        return agg / np.where(norms == 0.0, 1.0, norms)
 
     def get_embeddings(self, texts: Sequence[str]) -> np.ndarray:
         """``texts -> [len(texts), dim]`` float32
@@ -110,25 +174,12 @@ class EncoderService:
         windowed, every window encoded, windows mean-pooled per document and
         re-normalized — long files contribute all of their content instead
         of their first 512 tokens.
+
+        Composition of the three pipeline stages; ingest calls the stages
+        directly so batch ``i+1``'s tokenize and batch ``i``'s forward can
+        overlap batch ``i-1``'s collect+append.
         """
-        n = len(texts)
-        if n == 0:
-            return np.zeros((0, self.dim), dtype=np.float32)
-
-        if self.long_doc == "mean" and hasattr(
-            self.tokenizer, "encode_batch_windows"
-        ):
-            ids, mask, groups = self.tokenizer.encode_batch_windows(texts)
-            window_emb = self._encode_rows(ids, mask)
-            out = np.zeros((n, self.dim), dtype=np.float32)
-            np.add.at(out, groups, window_emb)
-            counts = np.bincount(groups, minlength=n).reshape(-1, 1)
-            out /= np.maximum(counts, 1)
-            norms = np.linalg.norm(out, axis=1, keepdims=True)
-            return out / np.where(norms == 0.0, 1.0, norms)
-
-        ids, mask = self.tokenizer.encode_batch(texts)  # raises on empty text
-        return self._encode_rows(ids, mask)
+        return self.collect(self.dispatch(self.tokenize(texts)))
 
 
 def create_encoder(cfg: Optional[EncoderConfig] = None) -> EncoderService:

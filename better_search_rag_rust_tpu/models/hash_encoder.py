@@ -67,7 +67,7 @@ class HashEncoder:
         self, input_ids: np.ndarray, attention_mask: np.ndarray
     ) -> jax.Array:
         """Device-resident forward (dispatches pipeline; see
-        EncoderService._encode_rows)."""
+        EncoderService.dispatch)."""
         return self._fwd(
             self.table,
             jnp.asarray(input_ids, dtype=jnp.int32),

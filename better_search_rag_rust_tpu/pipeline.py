@@ -235,47 +235,80 @@ class Pipeline:
         bsz = cfg.corpus.files_per_batch
         ckpt_every = cfg.checkpoint_every_batches
 
-        # Prefetch file reads on a background thread so disk I/O (threaded
-        # C++ reader when available) overlaps the device forward of the
-        # previous batch — the reference's chunk loop is fully serial
-        # (read, embed, append per chunk; src/mpi_helpers/tasks.rs:94-148).
+        # Three-stage software pipeline (the reference's chunk loop is fully
+        # serial — read, embed, append per chunk; src/mpi_helpers/tasks.rs:
+        # 94-148):
+        #   A (background thread): read + tokenize batch i+1 — file I/O
+        #     (threaded C++ reader when available) AND pure-Python
+        #     tokenization hide under the device forward;
+        #   B (main): dispatch batch i's forward asynchronously;
+        #   C (main): collect batch i-1's embeddings, append, checkpoint.
+        # B-before-C keeps the device busy across batch boundaries: the next
+        # forward is already queued while the previous readback (~26 ms
+        # fixed through a relayed chip) and parquet append run on host.
         from concurrent.futures import ThreadPoolExecutor
 
         starts = list(range(done_files, len(mine), bsz))
         prefetcher = ThreadPoolExecutor(max_workers=1)
         futures = {}
 
+        def _read_and_tokenize(paths):
+            contents = read_files(paths, cfg.corpus.max_file_bytes)
+            kept = [(p, c) for p, c in contents if c]
+            tb = self.encoder.tokenize([c for _p, c in kept])
+            return kept, tb
+
         def _submit(idx):
             if 0 <= idx < len(starts) and idx not in futures:
                 s = starts[idx]
                 futures[idx] = prefetcher.submit(
-                    read_files, mine[s : s + bsz], cfg.corpus.max_file_bytes
+                    _read_and_tokenize, mine[s : s + bsz]
                 )
 
+        def _collect_append(inflight) -> None:
+            batch_idx, files_through, kept, pending = inflight
+            if pending is not None:
+                try:
+                    emb = self.encoder.collect(pending)
+                except Exception as exc:  # log-and-continue, tasks.rs:118-124
+                    host_log(
+                        f"batch {batch_idx} failed ({len(kept)} files): {exc}"
+                    )
+                    stats.failed_batches += 1
+                    emb = None
+                if emb is not None:
+                    store.append_many(emb)
+                    row_paths.extend(str(p) for p, _c in kept)
+                    stats.embeddings += emb.shape[0]
+            if ckpt_every and (batch_idx + 1) % ckpt_every == 0:
+                checkpoint(files_through)
+
+        inflight = None
         _submit(0)
         try:
             for batch_idx, start in enumerate(starts):
                 _submit(batch_idx + 1)
                 batch_paths = mine[start : start + bsz]
-                contents = futures.pop(batch_idx).result()
-                kept = [(p, c) for p, c in contents if c]
-                texts = [c for _p, c in kept]
-                stats.files_skipped += len(batch_paths) - len(texts)
-                stats.files_read += len(texts)
-                if texts:
-                    try:
-                        emb = self.encoder.get_embeddings(texts)
-                    except Exception as exc:  # log-and-continue, tasks.rs:118-124
-                        host_log(
-                            f"batch {start // bsz} failed ({len(texts)} files): {exc}"
-                        )
-                        stats.failed_batches += 1
-                        continue
-                    store.append_many(emb)
-                    row_paths.extend(str(p) for p, _c in kept)
-                    stats.embeddings += emb.shape[0]
-                if ckpt_every and (batch_idx + 1) % ckpt_every == 0:
-                    checkpoint(start + len(batch_paths))
+                pending, kept = None, []
+                try:
+                    kept, tb = futures.pop(batch_idx).result()
+                    stats.files_skipped += len(batch_paths) - len(kept)
+                    stats.files_read += len(kept)
+                    if kept:
+                        pending = self.encoder.dispatch(tb)
+                except Exception as exc:  # log-and-continue, tasks.rs:118-124
+                    host_log(
+                        f"batch {batch_idx} failed "
+                        f"({len(batch_paths)} files): {exc}"
+                    )
+                    stats.failed_batches += 1
+                if inflight is not None:
+                    _collect_append(inflight)
+                inflight = (
+                    batch_idx, start + len(batch_paths), kept, pending,
+                )
+            if inflight is not None:
+                _collect_append(inflight)
         finally:
             prefetcher.shutdown(wait=False, cancel_futures=True)
         checkpoint(len(mine))

@@ -367,3 +367,37 @@ def test_xla_bf16_attention_parity():
     b = enc_b.encode_tokens(ids, mask)
     cos = np.sum(a * b, axis=1)
     assert cos.min() > 0.999, cos
+
+
+def test_staged_encode_matches_get_embeddings():
+    """tokenize/dispatch/collect with several batches IN FLIGHT gives the
+    same embeddings as the one-shot get_embeddings — the overlap the ingest
+    pipeline relies on (collect lags dispatch by one batch)."""
+    from better_search_rag_rust_tpu.models.encoder import create_encoder
+
+    svc = create_encoder(EncoderConfig(backend="hash", dim=64, batch_size=4))
+    batches = [
+        [f"alpha doc {i} {j}" for j in range(5)] for i in range(3)
+    ]
+    want = [svc.get_embeddings(b) for b in batches]
+    pendings = [svc.dispatch(svc.tokenize(b)) for b in batches]  # all queued
+    for p, w in zip(pendings, want):
+        np.testing.assert_array_equal(svc.collect(p), w)
+    # empty batch contract survives the staged path
+    empty = svc.collect(svc.dispatch(svc.tokenize([])))
+    assert empty.shape == (0, 64)
+
+
+def test_staged_encode_windows_mode():
+    """The staged path reduces long_doc="mean" windows identically to the
+    one-shot path."""
+    from better_search_rag_rust_tpu.models.encoder import create_encoder
+
+    svc = create_encoder(
+        EncoderConfig(backend="hash", dim=32, batch_size=4,
+                      max_tokens=16, long_doc="mean")
+    )
+    texts = ["word " * 100, "short", "medium " * 30]
+    want = svc.get_embeddings(texts)
+    got = svc.collect(svc.dispatch(svc.tokenize(texts)))
+    np.testing.assert_array_equal(got, want)
