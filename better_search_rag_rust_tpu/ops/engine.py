@@ -41,6 +41,19 @@ from .topk import global_topk, local_topk, serial_topk
 DATA_AXIS = "data"
 
 
+@jax.jit
+def _pack_results(vals: jax.Array, ids: jax.Array) -> jax.Array:
+    """``(sims f32 [Q,k], ids int [Q,k]) -> [Q, 2k]`` f32 with the ids'
+    bytes bitcast into the second half — transferred raw and re-viewed as
+    int32 on host (XLA transfers are byte-exact; NaN payloads survive)."""
+    ids32 = ids.astype(jnp.int32)
+    return jnp.concatenate(
+        [vals.astype(jnp.float32),
+         jax.lax.bitcast_convert_type(ids32, jnp.float32)],
+        axis=1,
+    )
+
+
 class SearchEngine:
     """Exact batched cosine top-k over a :class:`DeviceStore`."""
 
@@ -85,11 +98,27 @@ class SearchEngine:
         return fn(self.store.data, jnp.asarray(queries))
 
     @staticmethod
+    def _pack(out) -> jax.Array:
+        """Fuse (similarities f32, ids int32) into ONE ``[Q, 2k]`` f32
+        buffer (ids bitcast, bytes preserved) so collect needs a single
+        host readback — each synchronous device->host round trip costs a
+        fixed ~26 ms through a relayed chip, and two separate device_gets
+        pay it twice."""
+        vals, ids = out
+        return _pack_results(vals, ids)
+
+    @staticmethod
     def _collect(out) -> Tuple[np.ndarray, np.ndarray]:
         """Device (similarities, ids) -> host (ids int64, distances)."""
-        vals, ids = out
-        sims = np.asarray(jax.device_get(vals), dtype=np.float32)
-        indices = np.asarray(jax.device_get(ids), dtype=np.int64)
+        if isinstance(out, jax.Array):  # packed buffer from _pack
+            host = np.asarray(jax.device_get(out))
+            k = host.shape[1] // 2
+            sims = host[:, :k]
+            indices = host[:, k:].view(np.int32).astype(np.int64)
+        else:
+            vals, ids = out
+            sims = np.asarray(jax.device_get(vals), dtype=np.float32)
+            indices = np.asarray(jax.device_get(ids), dtype=np.int64)
         return indices, 1.0 - np.clip(sims, -1.0, 1.0)
 
     def search(
@@ -102,26 +131,31 @@ class SearchEngine:
         stored row count, src/mpi_helpers/metrics.rs:169), distances
         ascending, ties by lowest store row index.
         """
-        return self._collect(self._dispatch(queries, self._resolve_k(k)))
+        return self._collect(self._pack(self._dispatch(queries, self._resolve_k(k))))
 
-    def search_stream(self, batches, k: Optional[int] = None):
+    def search_stream(self, batches, k: Optional[int] = None, depth: int = 2):
         """Pipelined streaming search: yields ``(indices, distances)`` per
-        query batch, dispatching batch ``i+1`` to the device before batch
-        ``i``'s results are pulled back, so host transfer overlaps device
-        compute (BASELINE.json config 5: "streaming queries").
+        query batch, keeping up to ``depth`` batches in flight on the device
+        before batch results are pulled back, so host transfer overlaps
+        device compute (BASELINE.json config 5: "streaming queries").
+        Results are packed into a single readback buffer per batch (see
+        :meth:`_pack`).
 
         Batches sharing one shape reuse a single compiled program; a new
         shape compiles once.
         """
+        if depth < 1:
+            raise ValueError(f"depth must be >= 1, got {depth}")
+        from collections import deque
+
         k_eff = self._resolve_k(k)
-        pending = None
+        pending = deque()
         for q in batches:
-            current = self._dispatch(q, k_eff)
-            if pending is not None:
-                yield self._collect(pending)
-            pending = current
-        if pending is not None:
-            yield self._collect(pending)
+            pending.append(self._pack(self._dispatch(q, k_eff)))
+            if len(pending) > depth:
+                yield self._collect(pending.popleft())
+        while pending:
+            yield self._collect(pending.popleft())
 
     def prepare_device_queries(self, queries: np.ndarray) -> jax.Array:
         """Host ``[Q, D]`` queries -> normalized f32 device array padded to

@@ -41,6 +41,37 @@ EMBEDDINGS_COLUMN = "embeddings"
 #: reference: src/mpi_helpers/vectorstore.rs:16-20
 GLOBAL_STORE_NAME = "global.parquet"
 
+_warmed = False
+
+
+def _warm_parquet_writer() -> None:
+    """Fire-and-forget background warm-up of Arrow's C++ Parquet writer.
+
+    The FIRST ``pq.write_table`` in a process pays ~1.1 s of lazy C++
+    initialization (measured; warm writes of the same table take 10 ms),
+    which otherwise lands on the ingest critical path as a giant final
+    ``persist``. Triggered at store creation so the init runs on a daemon
+    thread while ingest tokenizes/encodes; Arrow's init is thread-safe, so
+    a persist racing the warm-up simply shares the cost."""
+    global _warmed
+    if _warmed:
+        return
+    _warmed = True
+
+    def _go() -> None:
+        try:
+            sink = pa.BufferOutputStream()
+            pq.write_table(
+                pa.table({EMBEDDINGS_COLUMN: pa.array([1.0], pa.float32())}),
+                sink, compression="none",
+            )
+        except Exception:  # pragma: no cover - warm-up must never fail loud
+            pass
+
+    import threading
+
+    threading.Thread(target=_go, name="parquet-warmup", daemon=True).start()
+
 
 def local_store_path(store_dir: str | os.PathLike, shard: int) -> Path:
     """Per-shard file ``rank_{r}.parquet``
@@ -64,6 +95,7 @@ class ParquetVectorStore:
         self.path = Path(path)
         self._chunks: List[np.ndarray] = []
         self._count = 0
+        _warm_parquet_writer()
         if not empty:
             self._read_parquet(create_if_missing=True)
 
@@ -84,7 +116,12 @@ class ParquetVectorStore:
             # files instead of crashing).
             self._chunks, self._count = [], 0
             return
-        table = pq.read_table(self.path, columns=[EMBEDDINGS_COLUMN])
+        # memory_map: the non-mmap read path is pathologically slow on
+        # overlay/network filesystems (measured 660-1200 ms vs 26 ms for a
+        # 35 MB file); mmap also avoids a copy for the PLAIN float pages.
+        table = pq.read_table(
+            self.path, columns=[EMBEDDINGS_COLUMN], memory_map=True
+        )
         col = table.column(EMBEDDINGS_COLUMN)
         rows: List[np.ndarray] = []
         for chunk in col.chunks:
@@ -109,7 +146,15 @@ class ParquetVectorStore:
         # Parquet file.
         self.path.parent.mkdir(parents=True, exist_ok=True)
         tmp = self.path.with_suffix(f".{os.getpid()}.tmp")
-        pq.write_table(table, tmp)
+        # Embedding vectors are near-incompressible float noise: snappy
+        # (the default) costs 6x the write time for ~0% size win (measured
+        # 722 -> 117 ms on 35 MB), and dictionary/statistics pages are
+        # useless for unique float rows. PLAIN encoding also makes reads
+        # mmap-friendly.
+        pq.write_table(
+            table, tmp,
+            compression="none", use_dictionary=False, write_statistics=False,
+        )
         os.replace(tmp, self.path)
 
     # -- mutation ------------------------------------------------------------
@@ -282,7 +327,7 @@ def read_matrix_slice(
     """
     if length <= 0:
         return np.zeros((0, 0), dtype=np.float32)
-    pf = pq.ParquetFile(path)
+    pf = pq.ParquetFile(path, memory_map=True)
     end = offset + length
     picked = []
     row_start = 0

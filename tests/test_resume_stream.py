@@ -154,3 +154,39 @@ def test_resume_with_corrupt_marker_restarts(corpus, tmp_path):
     resumed = Pipeline(_cfg(corpus, tmp_path, resume=True)).ingest_shard()
     assert resumed.embeddings == 20
     assert resumed.files_read == 20  # full restart
+
+
+def test_packed_collect_bitexact(mesh8):
+    """The single-readback packed buffer reproduces the two-transfer
+    collect exactly: ids' int32 bytes survive the f32 bitcast round trip
+    (including patterns that would be NaN payloads as floats) and
+    distances match bitwise."""
+    mat = mock_embeddings(300, dim=32, seed=47)
+    store = DeviceStore.from_host(mat, mesh8, dtype="float32", chunk_rows=128)
+    engine = SearchEngine(store, SearchConfig(kernel="global"))
+    qs = mat[:16]
+    out = engine._dispatch(qs, 7)
+    ids_u, dists_u = SearchEngine._collect(out)
+    ids_p, dists_p = SearchEngine._collect(SearchEngine._pack(out))
+    np.testing.assert_array_equal(ids_p, ids_u)
+    np.testing.assert_array_equal(dists_p, dists_u)
+    assert ids_p.dtype == np.int64
+
+
+def test_search_stream_depths(mesh8):
+    """Any in-flight depth yields identical results in input order."""
+    mat = mock_embeddings(200, dim=32, seed=48)
+    store = DeviceStore.from_host(mat, mesh8, dtype="float32", chunk_rows=128)
+    engine = SearchEngine(store, SearchConfig(kernel="global"))
+    batches = [mat[i * 8:(i + 1) * 8] for i in range(5)]
+    want = [engine.search(b, k=4) for b in batches]
+    for depth in (1, 3, 16):
+        got = list(engine.search_stream(iter(batches), k=4, depth=depth))
+        assert len(got) == 5
+        for (gi, gd), (wi, wd) in zip(got, want):
+            np.testing.assert_array_equal(gi, wi)
+            np.testing.assert_array_equal(gd, wd)
+    import pytest
+
+    with pytest.raises(ValueError):
+        list(engine.search_stream(iter(batches), k=4, depth=0))
