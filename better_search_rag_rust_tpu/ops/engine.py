@@ -41,16 +41,21 @@ from .topk import global_topk, local_topk, serial_topk
 DATA_AXIS = "data"
 
 
+#: Largest store size whose row ids are EXACT in float32 (2^24): above it
+#: the packed single-readback path is disabled and collect falls back to
+#: two transfers. Do NOT bitcast ids instead — small int32 bit patterns
+#: are f32 denormals and TPU hardware flushes denormals to zero in any
+#: copy/compute, silently zeroing the ids (observed on chip: recall 1.0 ->
+#: 0.001 while every CPU test stayed green).
+PACK_MAX_ROWS = 1 << 24
+
+
 @jax.jit
 def _pack_results(vals: jax.Array, ids: jax.Array) -> jax.Array:
-    """``(sims f32 [Q,k], ids int [Q,k]) -> [Q, 2k]`` f32 with the ids'
-    bytes bitcast into the second half — transferred raw and re-viewed as
-    int32 on host (XLA transfers are byte-exact; NaN payloads survive)."""
-    ids32 = ids.astype(jnp.int32)
+    """``(sims f32 [Q,k], ids int [Q,k]) -> [Q, 2k]`` f32 with the ids
+    VALUE-converted into the second half (exact for ids < 2^24)."""
     return jnp.concatenate(
-        [vals.astype(jnp.float32),
-         jax.lax.bitcast_convert_type(ids32, jnp.float32)],
-        axis=1,
+        [vals.astype(jnp.float32), ids.astype(jnp.float32)], axis=1
     )
 
 
@@ -97,13 +102,15 @@ class SearchEngine:
         fn = self._get_fn(queries.shape[0], k_eff)
         return fn(self.store.data, jnp.asarray(queries))
 
-    @staticmethod
-    def _pack(out) -> jax.Array:
+    def _pack(self, out):
         """Fuse (similarities f32, ids int32) into ONE ``[Q, 2k]`` f32
-        buffer (ids bitcast, bytes preserved) so collect needs a single
-        host readback — each synchronous device->host round trip costs a
-        fixed ~26 ms through a relayed chip, and two separate device_gets
-        pay it twice."""
+        buffer (ids value-converted — exact below ``PACK_MAX_ROWS``) so
+        collect needs a single host readback — each synchronous
+        device->host round trip costs a fixed ~26 ms through a relayed
+        chip, and two separate device_gets pay it twice. Stores with ids
+        beyond f32-exact range pass through unpacked."""
+        if self.store.num_rows >= PACK_MAX_ROWS:
+            return out
         vals, ids = out
         return _pack_results(vals, ids)
 
@@ -114,7 +121,7 @@ class SearchEngine:
             host = np.asarray(jax.device_get(out))
             k = host.shape[1] // 2
             sims = host[:, :k]
-            indices = host[:, k:].view(np.int32).astype(np.int64)
+            indices = host[:, k:].astype(np.int64)
         else:
             vals, ids = out
             sims = np.asarray(jax.device_get(vals), dtype=np.float32)
@@ -133,13 +140,20 @@ class SearchEngine:
         """
         return self._collect(self._pack(self._dispatch(queries, self._resolve_k(k))))
 
-    def search_stream(self, batches, k: Optional[int] = None, depth: int = 2):
+    def search_stream(self, batches, k: Optional[int] = None, depth: int = 1):
         """Pipelined streaming search: yields ``(indices, distances)`` per
         query batch, keeping up to ``depth`` batches in flight on the device
         before batch results are pulled back, so host transfer overlaps
         device compute (BASELINE.json config 5: "streaming queries").
-        Results are packed into a single readback buffer per batch (see
-        :meth:`_pack`).
+
+        Per batch, results are packed into a single readback buffer (see
+        :meth:`_pack`) and the device->host copy starts ASYNCHRONOUSLY at
+        dispatch time, so by collect time the bytes are already in flight —
+        measured 8.5k -> 13.4k q/s on a relayed chip, reaching the
+        query-upload bandwidth floor (~75 ms per 3 MB batch there). Deeper
+        queues measured WORSE through the relay (its scheduler penalizes
+        queued work), hence the conservative default; on directly-attached
+        hosts a depth of 2-3 hides longer device compute.
 
         Batches sharing one shape reuse a single compiled program; a new
         shape compiles once.
@@ -151,7 +165,10 @@ class SearchEngine:
         k_eff = self._resolve_k(k)
         pending = deque()
         for q in batches:
-            pending.append(self._pack(self._dispatch(q, k_eff)))
+            buf = self._pack(self._dispatch(q, k_eff))
+            for arr in (buf,) if isinstance(buf, jax.Array) else buf:
+                arr.copy_to_host_async()
+            pending.append(buf)
             if len(pending) > depth:
                 yield self._collect(pending.popleft())
         while pending:

@@ -158,19 +158,50 @@ def test_resume_with_corrupt_marker_restarts(corpus, tmp_path):
 
 def test_packed_collect_bitexact(mesh8):
     """The single-readback packed buffer reproduces the two-transfer
-    collect exactly: ids' int32 bytes survive the f32 bitcast round trip
-    (including patterns that would be NaN payloads as floats) and
-    distances match bitwise."""
+    collect exactly. Ids travel VALUE-converted to f32 — NOT bitcast:
+    small int32 bit patterns are f32 denormals and TPU hardware flushes
+    denormals to zero in copies (observed on chip as recall 1.0 -> 0.001
+    while CPU tests stayed green)."""
     mat = mock_embeddings(300, dim=32, seed=47)
     store = DeviceStore.from_host(mat, mesh8, dtype="float32", chunk_rows=128)
     engine = SearchEngine(store, SearchConfig(kernel="global"))
     qs = mat[:16]
     out = engine._dispatch(qs, 7)
     ids_u, dists_u = SearchEngine._collect(out)
-    ids_p, dists_p = SearchEngine._collect(SearchEngine._pack(out))
+    ids_p, dists_p = SearchEngine._collect(engine._pack(out))
     np.testing.assert_array_equal(ids_p, ids_u)
     np.testing.assert_array_equal(dists_p, dists_u)
     assert ids_p.dtype == np.int64
+
+
+def test_pack_results_exact_to_f32_limit():
+    """Value-converted ids are exact up to PACK_MAX_ROWS - 1, and stores
+    at/above the limit skip packing entirely."""
+    import jax.numpy as jnp
+
+    from better_search_rag_rust_tpu.ops.engine import (
+        PACK_MAX_ROWS, _pack_results,
+    )
+
+    ids = np.array(
+        [[0, 1, 123, 8_388_607, 10_000_000, PACK_MAX_ROWS - 1]],
+        dtype=np.int32,
+    )
+    vals = np.linspace(-1, 1, ids.size, dtype=np.float32).reshape(ids.shape)
+    packed = np.asarray(_pack_results(jnp.asarray(vals), jnp.asarray(ids)))
+    k = ids.shape[1]
+    np.testing.assert_array_equal(packed[:, k:].astype(np.int64), ids)
+    np.testing.assert_array_equal(packed[:, :k], vals)
+
+    class FakeStore:
+        num_rows = PACK_MAX_ROWS
+
+    class FakeEngine:
+        store = FakeStore()
+        _pack = SearchEngine._pack
+
+    out = ("vals", "ids")
+    assert FakeEngine()._pack(out) is out  # passthrough, no packing
 
 
 def test_search_stream_depths(mesh8):
