@@ -221,3 +221,61 @@ def test_search_stream_depths(mesh8):
 
     with pytest.raises(ValueError):
         list(engine.search_stream(iter(batches), k=4, depth=0))
+
+
+def test_ingest_failed_batch_log_and_continue(corpus, tmp_path):
+    """A batch whose forward dies mid-pipeline is logged and skipped
+    (reference: tasks.rs:118-124); every other batch's rows land, the
+    row->path manifest stays aligned with the store, and stats count the
+    failure — under the lag-1 dispatch/collect loop."""
+    import json
+
+    cfg = _cfg(corpus, tmp_path)
+    p = Pipeline(cfg)
+    real_collect = p.encoder.collect
+    calls = {"n": 0}
+
+    def flaky_collect(pending):
+        calls["n"] += 1
+        if calls["n"] == 2:  # second batch fails at collect time
+            raise RuntimeError("injected device failure")
+        return real_collect(pending)
+
+    p.encoder.collect = flaky_collect
+    stats = p.ingest_shard()
+    assert stats.failed_batches == 1
+    assert stats.embeddings == 16  # 20 files, one 4-file batch dropped
+    paths = json.loads(
+        local_store_path(cfg.store.dir, 0).with_suffix(".paths.json").read_text()
+    )
+    assert len(paths) == 16
+    # rows and manifest agree batch-by-batch: re-encode each surviving
+    # file and find it at its manifest position
+    from better_search_rag_rust_tpu.store.vectorstore import local_store
+
+    store = local_store(cfg.store.dir, 0, empty=False)
+    assert store.count == 16
+    emb = p.encoder.get_embeddings(
+        [open(paths[4]).read()]
+    )  # first file after the dropped batch
+    np.testing.assert_array_equal(store.get(4), emb[0])
+
+
+def test_ingest_failed_tokenize_batch(corpus, tmp_path):
+    """A batch whose background read+tokenize raises is likewise skipped
+    without derailing neighbors."""
+    cfg = _cfg(corpus, tmp_path)
+    p = Pipeline(cfg)
+    real_tok = p.encoder.tokenize
+    calls = {"n": 0}
+
+    def flaky_tokenize(texts):
+        calls["n"] += 1
+        if calls["n"] == 3:
+            raise ValueError("injected tokenizer failure")
+        return real_tok(texts)
+
+    p.encoder.tokenize = flaky_tokenize
+    stats = p.ingest_shard()
+    assert stats.failed_batches == 1
+    assert stats.embeddings == 16
