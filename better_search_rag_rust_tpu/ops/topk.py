@@ -149,6 +149,37 @@ def _merge_blockmax(
 # ---------------------------------------------------------------------------
 
 
+def _fast_topk(x: jax.Array, kk: int) -> Tuple[jax.Array, jax.Array]:
+    """Exact ``(vals, positions)`` top-``kk`` of ``x [T, N]`` by (value
+    desc, position asc) — same contract and tie discipline as
+    ``lax.top_k``, but through the ``approx_max_k(recall_target=1.0)``
+    PartialReduce fast path with the :func:`_select_blocks` certificate
+    (count of elements >= the kk-th candidate value over the FULL row must
+    match the count among candidates; any approx miss falls back to exact
+    ``lax.top_k`` via ``lax.cond``). Measured ~3x faster than ``top_k`` at
+    [512, 7936]; the win shrinks with N, so narrow/huge-k cases go
+    straight to ``top_k``."""
+    n = x.shape[1]
+    kp = min(n, max(2 * kk, 128))
+    if kp >= n // 2 or kk > 1024:
+        return jax.lax.top_k(x, kk)
+    av, ap = jax.lax.approx_max_k(x, kp, recall_target=1.0)
+    w = jax.lax.dynamic_slice_in_dim(av, kk - 1, 1, axis=1)
+    row_count = jnp.sum((x >= w).astype(jnp.int32), axis=1)
+    cand_count = jnp.sum((av >= w).astype(jnp.int32), axis=1)
+    cert = jnp.all(row_count == cand_count)
+
+    def fast(_):
+        neg, ids = jax.lax.sort((-(av + 0.0), ap), num_keys=2)
+        return -neg[:, :kk], ids[:, :kk]
+
+    def exact(_):
+        vals, ids = jax.lax.top_k(x, kk)
+        return vals, ids  # tuple, matching fast (top_k returns a list)
+
+    return jax.lax.cond(cert, fast, exact, None)
+
+
 def _select_blocks(block_max: jax.Array, kb: int) -> jax.Array:
     """Top ``kb`` blocks of ``block_max [T, NB]`` by (max desc, block idx
     asc) — the oracle's tie discipline.
@@ -164,27 +195,11 @@ def _select_blocks(block_max: jax.Array, kb: int) -> jax.Array:
     from a two-key sort of the candidates alone. The certificate makes NO
     assumption about the approx op's recall or set-validity: a miss above
     the boundary shows up as a count mismatch and falls back to exact
-    ``lax.top_k`` via ``lax.cond``.
+    ``lax.top_k`` via ``lax.cond``. The logic now lives in
+    :func:`_fast_topk` (the generalization used at every selection level);
+    this stays as the named block-selection entry point.
     """
-    nb = block_max.shape[1]
-    kp = min(nb, max(2 * kb, 128))
-    if kp >= nb // 2 or kb > 1024:
-        _, ids = jax.lax.top_k(block_max, kb)
-        return ids
-    av, ap = jax.lax.approx_max_k(block_max, kp, recall_target=1.0)
-    w = jax.lax.dynamic_slice_in_dim(av, kb - 1, 1, axis=1)
-    row_count = jnp.sum((block_max >= w).astype(jnp.int32), axis=1)
-    cand_count = jnp.sum((av >= w).astype(jnp.int32), axis=1)
-    cert = jnp.all(row_count == cand_count)
-
-    def fast(_):
-        neg, ids = jax.lax.sort((-(av + 0.0), ap), num_keys=2)
-        return ids[:, :kb]
-
-    def exact(_):
-        return jax.lax.top_k(block_max, kb)[1]
-
-    return jax.lax.cond(cert, fast, exact, None)
+    return _fast_topk(block_max, kb)[1]
 
 
 def _dense_chunk_topk(
@@ -532,7 +547,7 @@ def rescore_topk(
             nsup = nb // sup_w
             b8 = jnp.max(bm.reshape(t, nsup, sup_w), axis=2)
             ns = min(kb_sel, nsup)
-            _, sup = jax.lax.top_k(b8, ns)
+            _, sup = _fast_topk(b8, ns)
             sup = jnp.sort(sup, axis=1)  # ascending: oracle tie order
             cand_bm = jnp.take_along_axis(
                 bm.reshape(t, nsup, sup_w), sup[:, :, None], axis=1
@@ -541,7 +556,7 @@ def rescore_topk(
                 sup[:, :, None] * sup_w
                 + jnp.arange(sup_w, dtype=jnp.int32)[None, None, :]
             ).reshape(t, ns * sup_w)
-            _, pos = jax.lax.top_k(cand_bm, kb_sel)
+            _, pos = _fast_topk(cand_bm, kb_sel)
             bids = jnp.take_along_axis(cand_bids, pos, axis=1)
         else:
             bids = _select_blocks(bm, kb_sel)
@@ -558,7 +573,7 @@ def rescore_topk(
             s3 = cand_sims.reshape(t, nr, 16)
             rm = jnp.max(s3, axis=2)
             kr = min(k, nr)
-            _, rpos = jax.lax.top_k(rm, kr)
+            _, rpos = _fast_topk(rm, kr)
             rpos = jnp.sort(rpos, axis=1)
             cand_sims = jnp.take_along_axis(
                 s3, rpos[:, :, None], axis=1
@@ -572,7 +587,7 @@ def rescore_topk(
                                 constant_values=PAD_SIM)
             cand_ids = jnp.pad(cand_ids, ((0, 0), (0, pad)),
                                constant_values=int_max)
-        top_vals, pos = jax.lax.top_k(cand_sims, k)
+        top_vals, pos = _fast_topk(cand_sims, k)
         return top_vals, jnp.take_along_axis(cand_ids, pos, axis=1)
 
     def tile_fn(q_block):
@@ -619,7 +634,7 @@ def rescore_topk(
             pool = kb * spb
             ks = min(_round_up(k, cpg), pool - pool % cpg)
             ks = max(ks, cpg)
-            _, pos = jax.lax.top_k(cand_bm, ks)
+            _, pos = _fast_topk(cand_bm, ks)
             uids = jnp.take_along_axis(cand_uids, pos, axis=1)
             uids = jnp.sort(uids, axis=1)  # ascending: oracle tie order
             cand_sims = gather_rescore(

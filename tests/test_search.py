@@ -452,3 +452,32 @@ def test_matmul_blockmax2_interpret():
         np.asarray(bms).T, sims.reshape(T, R // 16, 16).max(axis=2),
         rtol=1e-5,
     )
+
+
+def test_fast_topk_matches_lax_topk():
+    """_fast_topk == lax.top_k on every (vals, positions) pair, including
+    heavy ties (forces the certificate's count-check), PAD_SIM-flooded
+    rows (forces the exact fallback), and the narrow-row passthrough."""
+    import jax
+    import jax.numpy as jnp
+
+    from better_search_rag_rust_tpu.ops.topk import PAD_SIM, _fast_topk
+
+    rng = np.random.default_rng(77)
+    # wide row, approx path eligible (kp < n//2)
+    x = rng.standard_normal((32, 1600)).astype(np.float32)
+    # inject tie plateaus exactly at plausible boundaries
+    x[:, 100:140] = x[:, 99:100]
+    x[5] = 1.0                    # fully tied row
+    x[7, :] = PAD_SIM             # fully padded row
+    for kk in (1, 100, 128):
+        fv, fp = jax.jit(lambda a, kk=kk: _fast_topk(a, kk))(jnp.asarray(x))
+        tv, tp = jax.lax.top_k(jnp.asarray(x), kk)
+        np.testing.assert_array_equal(np.asarray(fv), np.asarray(tv))
+        np.testing.assert_array_equal(np.asarray(fp), np.asarray(tp))
+    # narrow row: passthrough branch
+    xn = rng.standard_normal((8, 64)).astype(np.float32)
+    fv, fp = _fast_topk(jnp.asarray(xn), 60)
+    tv, tp = jax.lax.top_k(jnp.asarray(xn), 60)
+    np.testing.assert_array_equal(np.asarray(fv), np.asarray(tv))
+    np.testing.assert_array_equal(np.asarray(fp), np.asarray(tp))
