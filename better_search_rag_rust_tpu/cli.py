@@ -82,6 +82,14 @@ def _add_common(p: argparse.ArgumentParser) -> None:
     srch.add_argument("--chunk-rows", type=int, default=16384)
     srch.add_argument("--search-kernel", default="auto",
                       choices=["auto", "global", "scan", "blockmax", "pallas", "rescore"])
+    srch.add_argument("--rescore-argmax", default="auto",
+                      choices=["auto", "off"],
+                      help="argmax fast path of the rescore kernel "
+                           "(candidates from in-kernel unit argmaxes; "
+                           "only danger units gathered)")
+    srch.add_argument("--danger-units", type=int, default=8,
+                      help="per-query danger-unit gather capacity for the "
+                           "argmax fast path")
     srch.add_argument("--query", default=None, metavar="TEXT",
                       help="free-text query: encode and retrieve matching "
                            "corpus files instead of the self-retrieval check")
@@ -125,6 +133,8 @@ def _config_from_args(args, skip_process: bool) -> PipelineConfig:
             store_dtype=args.store_dtype,
             chunk_rows=args.chunk_rows,
             kernel=args.search_kernel,
+            rescore_argmax=getattr(args, "rescore_argmax", "auto"),
+            danger_units=getattr(args, "danger_units", 8),
         ),
         skip_process=skip_process,
         measure_serial_baseline=getattr(args, "speedup_baseline", False),

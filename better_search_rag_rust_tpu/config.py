@@ -153,6 +153,22 @@ class SearchConfig:
     #: gather selected store rows + bitwise-exact rescore — wins on huge
     #: low-dim shards), or "auto" (pick by shard size / dim / k).
     kernel: str = "auto"
+    #: Argmax fast path for the rescore kernel: the bm pass also emits
+    #: per-unit argmax + second max (free — hides under the MXU), so the
+    #: selected units' top rows need no gather at all; only "danger"
+    #: units (second max reaching the k-th selected max: a second row of
+    #: that unit could be top-k) are fetched, bounded by
+    #: ``danger_units`` with a counting certificate and a lax.cond
+    #: fallback to the full gather. "auto" = on wherever the Pallas
+    #: rescore path runs; "off" = always the round-3 full gather.
+    #: Exactness never depends on the choice (both paths are
+    #: oracle-exact; chip-verified bitwise identical).
+    rescore_argmax: str = "auto"
+    #: Danger-unit gather capacity per query for the argmax fast path
+    #: (rounded up to a legal DMA group). Uncorrelated stores need ~0.07
+    #: units/query at the headline configs; stores with many same-unit
+    #: top-k pairs overflow the capacity and take the fallback.
+    danger_units: int = 8
 
 
 @dataclass(frozen=True)

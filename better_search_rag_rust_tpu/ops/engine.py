@@ -246,7 +246,15 @@ class SearchEngine:
 
         @jax.jit
         def _sims(data, q):
-            qc = normalize_rows(q).astype(data.dtype)
+            # The barrier pins the query's bf16 rounding: without it XLA
+            # folds the convert into this small program's single matmul
+            # and effectively scores with higher-precision queries —
+            # ~1e-4 sims shifts vs the engine's materialized bf16 query
+            # bits, which flipped near-ties on chip (engine kernels all
+            # agreed with each other and differed from the oracle). The
+            # contract is scores over bf16-rounded rows AND queries.
+            qc = jax.lax.optimization_barrier(
+                normalize_rows(q).astype(data.dtype))
             return jnp.dot(
                 qc,
                 data.T,
@@ -476,6 +484,9 @@ class SearchEngine:
             q_tile = max(8, min(q, 512, self._vmem_q_cap()))
         sub, blk, cpg = self._rescore_geometry(k_eff)
 
+        argmax_fast = self.config.rescore_argmax != "off"
+        danger_units = self.config.danger_units
+
         def shard_fn_rescore(shard, queries_cast):
             from .topk import rescore_topk
 
@@ -484,6 +495,7 @@ class SearchEngine:
                 shard, queries_cast, k_eff, base, num_rows, q_tile,
                 use_pallas=(jax.default_backend() == "tpu"),
                 sub_block=sub, block=blk, cpg=cpg,
+                argmax_fast=argmax_fast, danger_units=danger_units,
             )
 
         def shard_fn(shard, queries_cast):
@@ -526,7 +538,11 @@ class SearchEngine:
         replicated = NamedSharding(mesh, P(None, None))
 
         def search_fn(data, queries):
-            queries_cast = normalize_rows(queries).astype(store_dtype)
+            # barrier: guarantee the kernels consume materialized
+            # store-dtype query bits whatever XLA fusion decides (the
+            # oracle pins the same — see oracle_topk)
+            queries_cast = jax.lax.optimization_barrier(
+                normalize_rows(queries).astype(store_dtype))
             return merge(*mapped(data, queries_cast))
 
         fn = jax.jit(search_fn, in_shardings=(sharded, replicated))

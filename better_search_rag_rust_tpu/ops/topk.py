@@ -76,8 +76,16 @@ def serial_topk(
             return x / np.where(norms == 0.0, 1.0, norms)
 
         sims = _norm(queries) @ _norm(store).T
-    dist = 1.0 - np.clip(np.asarray(sims, dtype=np.float32), -1.0, 1.0)
-    order = np.argsort(dist, axis=1, kind="stable")[:, :k_eff]
+    sims = np.asarray(sims, dtype=np.float32)
+    # Selection orders by the RAW f32 similarity (negation is exact), the
+    # engine's comparator — NOT by the reported distance: ``1 - sim``
+    # loses up to one ulp near sim ~ 0, collapsing distinct sims into a
+    # spurious exact tie the engine would still order by score (observed
+    # on chip: two sims 3e-8 apart at 0.109 share one f32 distance).
+    # Distances are derived afterward for the reference's metric API
+    # (1 - clamp(cos), src/metrics.rs:143-165).
+    order = np.argsort(-sims, axis=1, kind="stable")[:, :k_eff]
+    dist = 1.0 - np.clip(sims, -1.0, 1.0)
     return order.astype(np.int64), np.take_along_axis(dist, order, axis=1)
 
 
@@ -445,6 +453,8 @@ def rescore_topk(
     block: int = BLOCK,
     sub_block: int = 0,
     cpg: int = 0,
+    argmax_fast: bool = False,
+    danger_units: int = 8,
 ) -> Tuple[jax.Array, jax.Array]:
     """Exact top-k WITHOUT materializing the similarity matrix.
 
@@ -480,9 +490,45 @@ def rescore_topk(
     are fetched per (query, grid step); ``cpg * sub_block`` must be a
     multiple of 128 (the kernel's output lane width).
 
+    **Argmax fast path** (``argmax_fast``, round 4). The bm pass also
+    emits each unit's argmax row and second max — free, the VPU
+    reductions hide under the MXU dot (chip-measured). Then:
+
+    * A-candidates: the ks selected units' ``(max, base + uid*sub +
+      argmax)`` pairs — exact scores and row ids with NO store-row
+      traffic at all.
+    * By the containment proof, every true top-k row lives in a selected
+      unit. A top-k row that is NOT its unit's argmax forces that unit's
+      ``max2 >= w`` (with ``w`` the k-th best selected unit max: the top-k
+      selected argmaxes are k distinct rows scoring ``>= w``, so the true
+      k-th score is ``>= w``). Such "danger" units are counted on the
+      small ``[T, ks]`` second-max array; when every query has at most
+      ``danger_units`` of them, ONLY those units' rows are DMA-gathered
+      (:func:`..topk_pallas.gather_rescore`, top-``gd`` by max2 — by
+      value, so a count within capacity implies full coverage), their
+      argmax rows masked out (already A-candidates), and the exact top-k
+      follows from a two-key ``(value desc, gid asc)`` sort of
+      A + danger — the oracle's tie discipline enforced directly.
+    * Any query over capacity falls back to the full ks-unit gather via
+      ``lax.cond`` (identical result, chip-verified bitwise; clustered
+      stores with many same-unit top-k pairs simply keep the round-3
+      path). Expected danger count on uncorrelated data is
+      ``~k^2 * sub / (2 * rows)`` per query (~0.07 for both headline
+      configs), so the fast path is the steady state.
+    * The final sort MIXES bm-pass scores (A-candidates) with
+      gather-rescored scores (danger rows) — exact only because the two
+      Mosaic bf16 dots are bitwise identical on real TPUs
+      (chip-verified). Interpret-mode f32 dots of different orientation
+      round differently, so exact cross-unit input duplicates can
+      misorder there; hence the default is OFF and the engine enables it
+      only on the real-TPU bf16 path. (The round-3 gather path never
+      mixes: all final values come from one gather_rescore call.)
+
     Padded store rows are ZERO vectors whose recomputed score (0.0) could
     beat valid negative scores, so gathered rows past the valid count are
-    masked to PAD_SIM. The reference's scan + sort-merge equivalent:
+    masked to PAD_SIM. A padded unit's max is PAD_SIM, below every valid
+    cosine (>= -1), so its A-candidate is masked to INT32_MAX. The
+    reference's scan + sort-merge equivalent:
     src/mpi_helpers/metrics.rs:16-53.
     """
     if use_pallas:
@@ -512,9 +558,18 @@ def rescore_topk(
         from .topk_pallas import pick_bm2_row_tile
 
         try:
-            pick_bm2_row_tile(rows_pad, d, q_tile, sub, block, itemsize)
+            pick_bm2_row_tile(rows_pad, d, q_tile, sub, block, itemsize,
+                              extra_outs=2 if argmax_fast else 0)
         except ValueError:
-            use_pallas = False
+            if argmax_fast:
+                argmax_fast = False  # extra outputs blew VMEM: plain pass
+                try:
+                    pick_bm2_row_tile(rows_pad, d, q_tile, sub, block,
+                                      itemsize)
+                except ValueError:
+                    use_pallas = False
+            else:
+                use_pallas = False
     if not use_pallas:
         sub, cpg = 0, 0
         block = BLOCK
@@ -600,56 +655,120 @@ def rescore_topk(
                 pick_bm2_row_tile,
             )
 
-            rt = pick_bm2_row_tile(rows_pad, d, t, sub, block, itemsize)
-            fused = bm2_emits_block(rows_pad, rt, block, t)
-            if fused:
-                bms_t, bm_t = matmul_blockmax2_only(
-                    q_block, shard, total_valid,
-                    interpret=default_interpret(), sub=sub, block=block,
-                    emit_block=True,
-                )
-                bm = bm_t.T
-            else:
-                bms_t = matmul_blockmax2_only(
-                    q_block, shard, total_valid,
-                    interpret=default_interpret(), sub=sub, block=block,
-                )
-                bm = None
             spb = block // sub            # sub-units per block
+            pool = kb * spb
+            ks = min(_round_up(k, cpg), pool - pool % cpg)
+            ks = max(ks, cpg)
+            # argmax fast path feasibility: the k-th selected unit max
+            # must exist (ks >= k) and the danger capacity must be a
+            # legal gather_rescore shape within the selected set.
+            cpg_d = max(1, 128 // sub) if sub < 128 else 4
+            gd = max(cpg_d, _round_up(min(danger_units, ks), cpg_d))
+            af = argmax_fast and ks >= k and gd <= ks
+            rt = pick_bm2_row_tile(rows_pad, d, t, sub, block, itemsize,
+                                   extra_outs=2 if af else 0)
+            fused = bm2_emits_block(rows_pad, rt, block, t)
+            outs = matmul_blockmax2_only(
+                q_block, shard, total_valid,
+                interpret=default_interpret(), sub=sub, block=block,
+                emit_block=fused, emit_argmax=af,
+            )
+            if not (fused or af):
+                outs = (outs,)
+            bms_t = outs[0]
+            barg_t, bm2_t = (outs[1], outs[2]) if af else (None, None)
+            bm_t = outs[-1] if fused else None
             bms3 = bms_t.T.reshape(t, nb, spb)
-            if bm is None:
+            if bm_t is None:
                 # block level reduces in XLA from the (small) sub maxima;
                 # max is order-independent so both levels stay exact
                 # attained maxima of the oracle's scores.
                 bm = jnp.max(bms3, axis=2)
+            else:
+                bm = bm_t.T
             bids = select_blocks_hier(bm, t, kb)
             # refine: selected blocks' sub-maxima -> top-ks sub-units
             cand_bm = jnp.take_along_axis(
                 bms3, bids[:, :, None], axis=1
-            ).reshape(t, kb * spb)
+            ).reshape(t, pool)
             cand_uids = (
                 bids[:, :, None] * spb
                 + jnp.arange(spb, dtype=jnp.int32)[None, None, :]
-            ).reshape(t, kb * spb)
-            pool = kb * spb
-            ks = min(_round_up(k, cpg), pool - pool % cpg)
-            ks = max(ks, cpg)
-            _, pos = _fast_topk(cand_bm, ks)
+            ).reshape(t, pool)
+            vals, pos = _fast_topk(cand_bm, ks)
             uids = jnp.take_along_axis(cand_uids, pos, axis=1)
-            uids = jnp.sort(uids, axis=1)  # ascending: oracle tie order
-            cand_sims = gather_rescore(
-                q_block, shard, uids, unit=sub, cpg=cpg,
-                interpret=default_interpret(),
-            )                              # [T, ks*sub]
-            local_rows = (
-                uids[:, :, None] * sub
-                + jnp.arange(sub, dtype=jnp.int32)[None, None, :]
-            ).reshape(t, ks * sub)
-            cand_sims = jnp.where(local_rows < total_valid, cand_sims,
-                                  PAD_SIM)
-            cand_ids = jnp.where(local_rows < total_valid,
-                                 base_i32 + local_rows, int_max)
-            return finalize(cand_sims, cand_ids, t)
+
+            def slow_gather(_):
+                """Round-3 path: DMA-gather ALL ks selected units' rows."""
+                uids_s = jnp.sort(uids, axis=1)  # ascending: tie order
+                cand_sims = gather_rescore(
+                    q_block, shard, uids_s, unit=sub, cpg=cpg,
+                    interpret=default_interpret(),
+                )                              # [T, ks*sub]
+                local_rows = (
+                    uids_s[:, :, None] * sub
+                    + jnp.arange(sub, dtype=jnp.int32)[None, None, :]
+                ).reshape(t, ks * sub)
+                cand_sims = jnp.where(local_rows < total_valid, cand_sims,
+                                      PAD_SIM)
+                cand_ids = jnp.where(local_rows < total_valid,
+                                     base_i32 + local_rows, int_max)
+                return finalize(cand_sims, cand_ids, t)
+
+            if not af:
+                return slow_gather(None)
+
+            # ---- argmax fast path (see docstring proof) -----------------
+            barg3 = barg_t.T.reshape(t, nb, spb)
+            bm23 = bm2_t.T.reshape(t, nb, spb)
+            cand_arg = jnp.take_along_axis(
+                barg3, bids[:, :, None], axis=1).reshape(t, pool)
+            cand_m2 = jnp.take_along_axis(
+                bm23, bids[:, :, None], axis=1).reshape(t, pool)
+            arg_sel = jnp.take_along_axis(cand_arg, pos, axis=1)  # [T, ks]
+            m2_sel = jnp.take_along_axis(cand_m2, pos, axis=1)    # [T, ks]
+            w = jax.lax.dynamic_slice_in_dim(vals, k - 1, 1, axis=1)
+            a_gids = jnp.where(
+                vals > PAD_SIM, base_i32 + uids * sub + arg_sel, int_max
+            )
+            danger_count = jnp.sum((m2_sel >= w).astype(jnp.int32), axis=1)
+            cert = jnp.all(danger_count <= gd)
+            # top-gd units BY max2 value: a count within capacity implies
+            # every unit with max2 >= w is covered (any excluded unit
+            # would need gd units above it, contradicting the count).
+            _, dpos = jax.lax.top_k(m2_sel, gd)
+            d_uids = jnp.take_along_axis(uids, dpos, axis=1)      # [T, gd]
+            d_args = jnp.take_along_axis(arg_sel, dpos, axis=1)
+            dperm = jnp.argsort(d_uids, axis=1)
+            d_uids_s = jnp.take_along_axis(d_uids, dperm, axis=1)
+            d_args_s = jnp.take_along_axis(d_args, dperm, axis=1)
+
+            def fast(_):
+                d_sims = gather_rescore(
+                    q_block, shard, d_uids_s, unit=sub, cpg=cpg_d,
+                    interpret=default_interpret(),
+                )                              # [T, gd*sub]
+                d_rows = (
+                    d_uids_s[:, :, None] * sub
+                    + jnp.arange(sub, dtype=jnp.int32)[None, None, :]
+                ).reshape(t, gd * sub)
+                is_arg = (
+                    jnp.arange(sub, dtype=jnp.int32)[None, None, :]
+                    == d_args_s[:, :, None]
+                ).reshape(t, gd * sub)
+                ok = (d_rows < total_valid) & ~is_arg
+                d_sims = jnp.where(ok, d_sims, PAD_SIM)
+                d_ids = jnp.where(ok, base_i32 + d_rows, int_max)
+                c_vals = jnp.concatenate([vals, d_sims], axis=1)
+                c_ids = jnp.concatenate([a_gids, d_ids], axis=1)
+                # exact oracle order: two-key (value desc, gid asc) sort;
+                # `+ 0.0` folds -0.0 into +0.0 before negation so signed
+                # zeros cannot split a tie the oracle would merge.
+                neg, ids_sorted = jax.lax.sort(
+                    (-(c_vals + 0.0), c_ids), num_keys=2)
+                return -neg[:, :k], ids_sorted[:, :k]
+
+            return jax.lax.cond(cert, fast, slow_gather, None)
 
         # ---- XLA branch (CPU tests, f32 shards) ----------------------------
         local_ids = jnp.arange(rows_pad, dtype=jnp.int32)

@@ -249,7 +249,8 @@ def matmul_blockmax_only(
     return bm_t
 
 
-def _make_bm2t_kernel(sub: int, block: int, emit_block: bool):
+def _make_bm2t_kernel(sub: int, block: int, emit_block: bool,
+                      emit_argmax: bool = False):
     def _kernel(limit_ref, q_ref, s_ref, *out_refs):
         """One row tile, TRANSPOSED similarity: ``dot(store_tile [RT, D],
         q [T, D]) -> sims_t [RT, T]`` so row groups live on the SUBLANE
@@ -257,7 +258,14 @@ def _make_bm2t_kernel(sub: int, block: int, emit_block: bool):
         split ``(T, RT) -> (T, RT/sub, sub)`` does not compile for
         sub != 128. The swapped-operand Mosaic bf16 dot is bitwise equal
         to XLA's HIGHEST matmul (chip-verified), so the emitted maxima
-        are exact attained maxima of the oracle's scores."""
+        are exact attained maxima of the oracle's scores.
+
+        With ``emit_argmax`` the pass also emits each unit's argmax row
+        (lowest attaining index, int32 in ``[0, sub)``) and its second
+        max (the max EXCLUDING the argmax row — equal to the max when the
+        unit holds a duplicate maximum). The extra VPU reductions hide
+        under the MXU dot (chip-measured: no pass-time change), which is
+        what makes the sims-free argmax fast path free to enable."""
         sims_t = jax.lax.dot_general(
             s_ref[:],
             q_ref[:],
@@ -268,25 +276,38 @@ def _make_bm2t_kernel(sub: int, block: int, emit_block: bool):
         row0 = pl.program_id(0) * rt
         local = row0 + jax.lax.broadcasted_iota(jnp.int32, (rt, 1), 0)
         sims_t = jnp.where(local < limit_ref[0], sims_t, PAD_SIM)
-        bms = jnp.max(sims_t.reshape(rt // sub, sub, t), axis=1)
+        sims3 = sims_t.reshape(rt // sub, sub, t)
+        bms = jnp.max(sims3, axis=1)
         out_refs[0][:] = bms
+        i = 1
+        if emit_argmax:
+            iota = jax.lax.broadcasted_iota(
+                jnp.int32, (rt // sub, sub, t), 1)
+            eq = sims3 == bms[:, None, :]
+            arg = jnp.min(jnp.where(eq, iota, sub), axis=1)
+            out_refs[i][:] = arg
+            masked = jnp.where(iota == arg[:, None, :], PAD_SIM, sims3)
+            out_refs[i + 1][:] = jnp.max(masked, axis=1)
+            i += 2
         if emit_block:
-            out_refs[1][:] = jnp.max(
+            out_refs[i][:] = jnp.max(
                 bms.reshape(rt // block, block // sub, t), axis=1)
 
     return _kernel
 
 
 def pick_bm2_row_tile(rows: int, dim: int, q_tile: int, sub: int,
-                      block: int, itemsize: int) -> int:
+                      block: int, itemsize: int,
+                      extra_outs: int = 0) -> int:
     """Row tile for the transposed bm pass. Budget: double-buffered store
-    tile + transposed bm_sub output + resident query tile + the
-    in-register sims tile. The output tile ``(rt/sub, t)`` needs an
-    8-aligned sublane dim unless it spans the whole array (Mosaic block
-    legality), hence ``rt >= 8 * sub`` for multi-tile grids."""
+    tile + transposed bm_sub output (plus ``extra_outs`` same-shaped
+    argmax/max2 outputs) + resident query tile + the in-register sims
+    tile. The output tile ``(rt/sub, t)`` needs an 8-aligned sublane dim
+    unless it spans the whole array (Mosaic block legality), hence
+    ``rt >= 8 * sub`` for multi-tile grids."""
     def vmem(rt: int) -> int:
         return (2 * rt * dim * itemsize
-                + 2 * (rt // sub) * q_tile * 4
+                + 2 * (1 + extra_outs) * (rt // sub) * q_tile * 4
                 + q_tile * dim * itemsize
                 + q_tile * rt * 4)
 
@@ -316,7 +337,9 @@ def bm2_emits_block(rows: int, rt: int, block: int, q_tile: int) -> bool:
 
 
 @functools.partial(
-    jax.jit, static_argnames=("interpret", "sub", "block", "emit_block")
+    jax.jit,
+    static_argnames=("interpret", "sub", "block", "emit_block",
+                     "emit_argmax"),
 )
 def matmul_blockmax2_only(
     queries: jax.Array,
@@ -327,6 +350,7 @@ def matmul_blockmax2_only(
     sub: int = 16,
     block: int = BLOCK,
     emit_block: bool = False,
+    emit_argmax: bool = False,
 ):
     """Sub-block maxima ``bm_sub [R/sub, T]`` without materializing
     similarities: one streaming pass reduces each transposed sims tile to
@@ -341,6 +365,14 @@ def matmul_blockmax2_only(
     otherwise returns ``bm_sub`` alone and the caller reduces in XLA (max
     is order-independent, so both forms give identical exact maxima).
 
+    With ``emit_argmax`` the pass additionally emits ``arg [R/sub, T]``
+    int32 (each unit's lowest max-attaining row, shard-local within the
+    unit) and ``m2 [R/sub, T]`` f32 (the unit's max EXCLUDING that row) —
+    the inputs of the sims-free argmax fast path
+    (:func:`..topk.rescore_topk`). Output order:
+    ``(bm_sub, [arg, m2,] [bm])``. Chip-measured: the extra VPU
+    reductions hide under the MXU dot (no pass-time change).
+
     ``R`` must be a multiple of the row tile and of ``block``; ``sub``
     must divide ``block``."""
     t, d = queries.shape
@@ -350,7 +382,8 @@ def matmul_blockmax2_only(
     if block % sub:
         raise ValueError(f"sub {sub} must divide block {block}")
     rt = pick_bm2_row_tile(r, d, t, sub, block,
-                           jnp.dtype(shard.dtype).itemsize)
+                           jnp.dtype(shard.dtype).itemsize,
+                           extra_outs=2 if emit_argmax else 0)
     if emit_block and not bm2_emits_block(r, rt, block, t):
         raise ValueError(
             f"emit_block illegal at rt={rt}, block={block} (sublane"
@@ -362,6 +395,13 @@ def matmul_blockmax2_only(
                      memory_space=pltpu.VMEM),
     ]
     out_shape = [jax.ShapeDtypeStruct((r // sub, t), jnp.float32)]
+    if emit_argmax:
+        for dt in (jnp.int32, jnp.float32):
+            out_specs.append(
+                pl.BlockSpec((rt // sub, t), lambda i, *_: (i, 0),
+                             memory_space=pltpu.VMEM)
+            )
+            out_shape.append(jax.ShapeDtypeStruct((r // sub, t), dt))
     if emit_block:
         out_specs.append(
             pl.BlockSpec((rt // block, t), lambda i, *_: (i, 0),
@@ -378,17 +418,18 @@ def matmul_blockmax2_only(
         out_specs=out_specs,
     )
     out = pl.pallas_call(
-        _make_bm2t_kernel(sub, block, emit_block),
+        _make_bm2t_kernel(sub, block, emit_block, emit_argmax),
         grid_spec=grid_spec,
         out_shape=out_shape,
         cost_estimate=pl.CostEstimate(
             flops=2 * t * d * r,
-            bytes_accessed=t * d * 2 + r * d * 2 + (r // sub) * t * 4,
+            bytes_accessed=t * d * 2 + r * d * 2
+            + (1 + (2 if emit_argmax else 0)) * (r // sub) * t * 4,
             transcendentals=0,
         ),
         interpret=interpret,
     )(limit, queries, shard)
-    return (out[0], out[1]) if emit_block else out[0]
+    return tuple(out) if (emit_block or emit_argmax) else out[0]
 
 
 def _make_gather_rescore_kernel(cpg: int):

@@ -44,12 +44,30 @@ def main() -> int:
     for name, mat in build_cases():
         for dtype in ("bfloat16", "float32"):
             store = DeviceStore.from_host(mat, mesh, dtype=dtype)
-            for kernel in ("pallas", "global", "rescore", "blockmax", "scan"):
+            # "rescore" default = argmax fast path (mixed bm/gather scores,
+            # sound only because Mosaic bf16 dots are bitwise identical —
+            # exactly what this on-hardware sweep must prove);
+            # "rescore-noarg" pins the round-3 full-gather path.
+            for kernel in ("pallas", "global", "rescore", "rescore-noarg",
+                           "blockmax", "scan"):
                 eng = SearchEngine(
                     store,
-                    SearchConfig(kernel=kernel, sims_buffer_bytes=0),
+                    SearchConfig(
+                        kernel=kernel.split("-")[0],
+                        sims_buffer_bytes=0,
+                        rescore_argmax="off" if kernel.endswith("-noarg")
+                        else "auto",
+                    ),
                 )
-                rng = np.random.default_rng(hash(name) % 2**31)
+                # stable digest, NOT hash(): Python string hashing is
+                # salted per process, which made sweep runs irreproducible
+                import hashlib
+
+                seed = int.from_bytes(
+                    hashlib.blake2b(name.encode(), digest_size=4).digest(),
+                    "little",
+                )
+                rng = np.random.default_rng(seed)
                 qi = rng.integers(0, mat.shape[0], 8)
                 queries = mat[qi]
                 for k in (1, 10, 100):

@@ -481,3 +481,151 @@ def test_fast_topk_matches_lax_topk():
     tv, tp = jax.lax.top_k(jnp.asarray(xn), 60)
     np.testing.assert_array_equal(np.asarray(fv), np.asarray(tv))
     np.testing.assert_array_equal(np.asarray(fp), np.asarray(tp))
+
+
+def test_bm2_argmax_emission_interpret():
+    """With emit_argmax the bm pass also emits each unit's argmax row
+    (lowest attaining index) and second max (max excluding that row —
+    equal to the max for duplicate maxima). Validated against NumPy on
+    tie-heavy data."""
+    import jax.numpy as jnp
+    from better_search_rag_rust_tpu.ops.topk_pallas import (
+        PAD_SIM, matmul_blockmax2_only,
+    )
+
+    rng = np.random.default_rng(93)
+    R, D, T, sub, block = 1024, 64, 16, 16, 128
+    mat = rng.standard_normal((R, D)).astype(np.float32)
+    mat[32:40] = mat[16]       # same-unit + cross-unit duplicates
+    mat[100] = mat[101]        # in-unit duplicate pair (tied max)
+    qs = rng.standard_normal((T, D)).astype(np.float32)
+    valid = 1000               # pad tail, incl. a partially padded unit
+
+    bms, arg, m2, bm = matmul_blockmax2_only(
+        jnp.asarray(qs), jnp.asarray(mat), jnp.int32(valid),
+        interpret=True, sub=sub, block=block, emit_block=True,
+        emit_argmax=True,
+    )
+    sims = qs @ mat.T
+    sims[:, valid:] = PAD_SIM
+    s3 = sims.reshape(T, R // sub, sub)
+    np.testing.assert_allclose(np.asarray(bms).T, s3.max(axis=2), rtol=1e-6)
+    # argmax must match NumPy wherever the unit's top-two gap is clearly
+    # resolved (near-ties may rank differently between NumPy's and XLA's
+    # f32 accumulation orders; the kernel need only be self-consistent)
+    arg_k = np.asarray(arg).T
+    arg_ref = s3.argmax(axis=2)
+    srt = np.sort(s3, axis=2)
+    clear = (srt[:, :, -1] - srt[:, :, -2]) > 1e-4
+    np.testing.assert_array_equal(arg_k[clear], arg_ref[clear])
+    # second max: max excluding the KERNEL's argmax row (self-consistency)
+    masked = np.where(
+        np.arange(sub)[None, None, :] == arg_k[:, :, None], PAD_SIM, s3
+    )
+    np.testing.assert_allclose(np.asarray(m2).T, masked.max(axis=2),
+                               rtol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(bm).T, sims.reshape(T, R // block, block).max(axis=2),
+        rtol=1e-6,
+    )
+
+
+def test_rescore_argmax_fast_and_fallback_interpret():
+    """The argmax fast path (candidates from in-kernel argmaxes + bounded
+    danger gather) must equal the full-gather path AND the oracle, on a
+    clean store (fast branch), a same-unit-duplicate store (danger
+    gather exercised), and a duplicate-saturated store (capacity
+    overflow -> lax.cond fallback)."""
+    import jax.numpy as jnp
+    from better_search_rag_rust_tpu.ops.topk import rescore_topk, serial_topk
+
+    rng = np.random.default_rng(94)
+
+    def check(mat, queries, k, msg):
+        mat = np.ascontiguousarray(mat, dtype=np.float32)
+        norms = np.linalg.norm(mat, axis=1, keepdims=True)
+        mat = mat / np.where(norms == 0, 1.0, norms)
+        args = (jnp.asarray(mat), jnp.asarray(queries), k, jnp.int32(0),
+                mat.shape[0])
+        kw = dict(q_tile=8, use_pallas=True, sub_block=16, block=128, cpg=8)
+        v_fast, i_fast = rescore_topk(*args, argmax_fast=True, **kw)
+        v_slow, i_slow = rescore_topk(*args, argmax_fast=False, **kw)
+        o_ids, _ = serial_topk(mat, queries, k)
+        np.testing.assert_array_equal(np.asarray(i_fast), o_ids,
+                                      err_msg=f"{msg} (fast vs oracle)")
+        np.testing.assert_array_equal(np.asarray(i_fast),
+                                      np.asarray(i_slow),
+                                      err_msg=f"{msg} (fast vs slow)")
+        # Values: the fast path reports the bm pass's maxima, the slow
+        # path gather_rescore's recomputation. On real TPUs both are the
+        # same Mosaic bf16 dot (bitwise, chip-verified); interpret-mode
+        # f32 matmuls of different orientation agree only to rounding.
+        np.testing.assert_allclose(np.asarray(v_fast),
+                                   np.asarray(v_slow), rtol=1e-5,
+                                   err_msg=f"{msg} vals")
+
+    # clean store: danger count ~0, fast branch taken (distinct scores —
+    # the fast path's bm-vs-gather arithmetic mix cannot flip ~1e-3 gaps)
+    mat = rng.standard_normal((4096, 768))
+    queries = mat[rng.integers(0, 4096, 8)].astype(np.float32)
+    check(mat, queries, 10, "clean")
+
+    # one-hot store: every score is a SINGLE product (bitwise identical
+    # in both the bm pass's and gather_rescore's arithmetic), so exact
+    # tie discipline is checkable in interpret mode. Rows 100-102 are a
+    # same-unit triple (danger gather exercised); rows hot at the same
+    # dim across units are exact cross-unit ties.
+    mat2 = np.zeros((2048, 768), dtype=np.float32)
+    mat2[np.arange(2048), np.arange(2048) % 768] = 1.0
+    mat2[100] = mat2[101] = mat2[102] = 0.0
+    mat2[100:103, 99] = 1.0                 # unit 6 holds a triple
+    q2 = np.zeros((2, 768), dtype=np.float32)
+    for rank, d in enumerate([99, 5, 33, 200, 321, 7, 450, 600]):
+        q2[0, d] = 0.9 - 0.1 * rank
+    q2[1, 5] = 1.0                          # plain cross-unit tie query
+    check(mat2, q2, 8, "one-hot danger")
+
+    # duplicate-saturated: every unit's second max equals its max ->
+    # danger overflow -> fallback branch
+    mat3 = np.repeat(rng.standard_normal((128, 768)), 32, axis=0)
+    queries3 = mat3[::301][:4].astype(np.float32)
+    check(mat3, queries3, 50, "saturated")
+
+
+def test_engine_rescore_argmax_off_matches(mesh8):
+    """SearchConfig(rescore_argmax="off") must give identical results to
+    the default on the rescore kernel."""
+    rng = np.random.default_rng(95)
+    mat = rng.standard_normal((3000, 32)).astype(np.float32)
+    mat[100] = mat[7]
+    queries = mat[rng.integers(0, 3000, 6)]
+    store = DeviceStore.from_host(mat, mesh8, dtype="float32",
+                                  chunk_rows=256)
+    e_on = SearchEngine(store, SearchConfig(kernel="rescore"))
+    e_off = SearchEngine(store, SearchConfig(kernel="rescore",
+                                             rescore_argmax="off"))
+    ids_on, d_on = e_on.search(queries, k=9)
+    ids_off, d_off = e_off.search(queries, k=9)
+    np.testing.assert_array_equal(ids_on, ids_off)
+    np.testing.assert_allclose(d_on, d_off, atol=0)
+
+
+def test_serial_oracle_orders_by_raw_sims_not_distance():
+    """The oracle must select by RAW f32 similarity (the engine's
+    comparator). ``1 - sim`` loses up to one ulp near sim ~ 0: two
+    distinct f32 sims can share one f32 distance, and an oracle sorting
+    by distance would spuriously tie them (observed on chip). The row
+    with the strictly higher sim must rank first even when the distances
+    round to the same f32."""
+    from better_search_rag_rust_tpu.ops.topk import serial_topk
+
+    lo = np.float32(0.109457016)
+    hi = np.float32(0.109457046)
+    assert lo != hi
+    # the f32 distances collapse — exactly the observed hazard
+    assert np.float32(1.0 - lo) == np.float32(1.0 - hi)
+    sims = np.array([[lo, hi, -0.5]], dtype=np.float32)
+    store = np.zeros((3, 4), dtype=np.float32)  # unused when sims given
+    ids, dists = serial_topk(store, np.zeros((1, 4), np.float32), 3,
+                             sims=sims)
+    np.testing.assert_array_equal(ids[0], [1, 0, 2])
