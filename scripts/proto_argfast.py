@@ -30,7 +30,7 @@ from proto_argmax import bm2x  # the extended pass
 R, D, sub, block, cpg = 1_000_000, 768, 16, 128, 8
 k, t = 100, 512
 GD = 8  # danger-unit capacity per query
-rows_pad = T._round_up(R, 1024)
+rows_pad = 1_015_808
 nb = rows_pad // block
 nsub = rows_pad // sub
 kb = min(k, nb)
