@@ -310,21 +310,39 @@ class SearchEngine:
 
     def _rescore_geometry(self, k_eff: int):
         """(sub, block, cpg) for the sims-free rescore pipeline at this
-        store's dim: high-dim stores extract 16-row units (8x less gather
-        traffic than 128-row blocks), low-dim huge stores extract 128-row
-        units (64 KB DMAs) selected through 1024-row blocks."""
+        store's dim.
+
+        High-dim stores: 16-row units cut the full-gather traffic 8x vs
+        128-row blocks — but under the argmax fast path the selected
+        units' rows are no longer gathered at all, and the dominant cost
+        becomes the [R/sub, T] bms/arg/m2 gather sources (source-bytes
+        bound, ~138 GB/s scan-select), so sub DOUBLES to 32 there
+        (chip-measured -11%/tile at 1M x 768; sub=64 equal, kept at 32
+        for the lower same-unit danger rate on clustered corpora).
+        Low-dim huge stores keep 128-row units / 1024-row blocks
+        (sub=256 measured WORSE at 10M x 256 — the bm pass slows more
+        than the smaller sources save)."""
         dim = self.store.data.shape[1]
         itemsize = jnp.dtype(self.store.data.dtype).itemsize
+        argmax = self.config.rescore_argmax != "off"
         if dim * itemsize >= 1024:
-            return 16, 128, 8
+            return (32, 128, 8) if argmax else (16, 128, 8)
         return 128, 1024, 4
 
     def _rescore_wins(self, k_eff: int) -> bool:
         """The sims-free rescore pipeline beats the dense two-stage path
-        when its per-query traffic — bm_sub write + refine rescan
-        (~8 * rows / sub bytes) plus the fused DMA extraction (~ks * sub *
-        dim_bytes, weighted ~2.5x for the measured ~57 ns/unit DMA issue
-        cost) — undercuts the sims write + gather-rescan (8 * rows bytes).
+        when its per-query traffic undercuts the sims write + gather-rescan
+        (8 * rows bytes). Rescore traffic by variant:
+
+        * argmax fast path (steady state when enabled): refine rescan of
+          the THREE sub-level arrays (bms/barg/bm2, ~12 * rows / sub
+          bytes) + the danger gather of only ``gd`` units (~gd * sub *
+          dim_bytes, weighted ~2.5x for the measured ~57 ns/unit DMA
+          issue cost).
+        * round-3 full gather: bm_sub write + refine rescan
+          (~8 * rows / sub) + ALL ks selected units' rows
+          (~ks * sub * dim_bytes, same 2.5x weight).
+
         Measured v5e wins: 10M x 256 bf16 2.2x (round 2, 128-unit form)
         and 1M x 768 bf16 ~1.7x (round 3, 16-unit two-level form). Small
         shards stay on the proven sims path: their sims buffers are cheap
@@ -335,8 +353,14 @@ class SearchEngine:
         dim = self.store.data.shape[1]
         itemsize = jnp.dtype(self.store.data.dtype).itemsize
         sub, _block, cpg = self._rescore_geometry(k_eff)
-        ks = k_eff + (-k_eff) % cpg
-        rescore_traffic = 8 * rows // sub + 5 * ks * sub * dim * itemsize // 2
+        if self.config.rescore_argmax != "off":
+            gd = max(1, self.config.danger_units)
+            rescore_traffic = (12 * rows // sub
+                               + 5 * gd * sub * dim * itemsize // 2)
+        else:
+            ks = k_eff + (-k_eff) % cpg
+            rescore_traffic = (8 * rows // sub
+                               + 5 * ks * sub * dim * itemsize // 2)
         return (
             rows >= 1 << 19
             and rescore_traffic < 8 * rows

@@ -557,6 +557,15 @@ def rescore_topk(
         rows_pad = _round_up(rows_valid, max(1024, block))
         from .topk_pallas import pick_bm2_row_tile
 
+        # Tiny refine pools (kb * spb < cpg — possible at spb < 8, e.g.
+        # the sub=32 geometry on a small store) admit no legal
+        # gather_rescore shape: ks would exceed the pool. Degrade to the
+        # XLA branch (exact; tiny stores don't need the fast path).
+        nb_s = rows_pad // block
+        pool_s = min(k, nb_s) * (block // sub)
+        if max(_round_up(k, cpg), cpg) > pool_s:
+            use_pallas = False
+    if use_pallas:
         try:
             pick_bm2_row_tile(rows_pad, d, q_tile, sub, block, itemsize,
                               extra_outs=2 if argmax_fast else 0)

@@ -585,6 +585,18 @@ def test_rescore_argmax_fast_and_fallback_interpret():
     q2[1, 5] = 1.0                          # plain cross-unit tie query
     check(mat2, q2, 8, "one-hot danger")
 
+    # sub=32: the engine's argmax-path geometry for high-dim stores
+    from better_search_rag_rust_tpu.ops.topk import rescore_topk as _rt
+    import jax.numpy as _jnp
+    m2n = mat2 / np.maximum(np.linalg.norm(mat2, axis=1, keepdims=True), 1)
+    v32, i32 = _rt(_jnp.asarray(m2n.astype(np.float32)),
+                   _jnp.asarray(q2), 8, _jnp.int32(0), 2048, q_tile=8,
+                   use_pallas=True, sub_block=32, block=128, cpg=8,
+                   argmax_fast=True)
+    o32, _ = serial_topk(m2n.astype(np.float32), q2, 8)
+    np.testing.assert_array_equal(np.asarray(i32), o32,
+                                  err_msg="one-hot sub=32")
+
     # duplicate-saturated: every unit's second max equals its max ->
     # danger overflow -> fallback branch
     mat3 = np.repeat(rng.standard_normal((128, 768)), 32, axis=0)
@@ -629,3 +641,37 @@ def test_serial_oracle_orders_by_raw_sims_not_distance():
     ids, dists = serial_topk(store, np.zeros((1, 4), np.float32), 3,
                              sims=sims)
     np.testing.assert_array_equal(ids[0], [1, 0, 2])
+
+
+def test_auto_kernel_cost_model_picks_rescore_for_headline_shapes():
+    """Regression: the sub=32 argmax geometry must not flip the auto kernel
+    back to the dense sims path. The stale round-3 cost model charged the
+    full ks*sub*dim gather (which the argmax path does not perform) and
+    silently resolved 'pallas' at 1M x 768, dropping the measured headline
+    from 47.2k to 33.6k q/s on chip."""
+    from types import SimpleNamespace
+
+    import jax.numpy as jnp
+
+    from better_search_rag_rust_tpu.ops.engine import SearchEngine as SE
+
+    def eng_for(dim, rows, **cfg):
+        store = SimpleNamespace(
+            data=jnp.zeros((8, dim), jnp.bfloat16), per_device_rows=rows
+        )
+        return SE(store, SearchConfig(**cfg))
+
+    e = eng_for(768, 1 << 20)
+    assert e._rescore_geometry(100)[0] == 32  # argmax-path geometry
+    assert e._resolve_kernel(100) == "rescore"
+
+    # argmax off: round-3 full-gather model, sub=16 — still rescore at 768-d
+    e_off = eng_for(768, 1 << 20, rescore_argmax="off")
+    assert e_off._rescore_geometry(100)[0] == 16
+    assert e_off._resolve_kernel(100) == "rescore"
+
+    # low-dim huge store (the 10M x 256 suite shape)
+    assert eng_for(256, 10_158_080)._resolve_kernel(100) == "rescore"
+
+    # small stores stay on the proven sims path
+    assert eng_for(768, 1 << 18)._resolve_kernel(100) != "rescore"
