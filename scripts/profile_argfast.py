@@ -23,7 +23,8 @@ from better_search_rag_rust_tpu.ops.topk_pallas import (
     gather_rescore, matmul_blockmax2_only,
 )
 
-R, D, sub, block, cpg = 1_015_808, 768, 16, 128, 8
+R, D, block, cpg = 1_015_808, 768, 128, 8
+sub = int(os.environ.get("SUB", "32"))
 VALID = 1_000_000
 k, t, GD = 100, 512, 8
 nb = R // block
