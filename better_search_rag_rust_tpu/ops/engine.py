@@ -315,8 +315,9 @@ class SearchEngine:
         High-dim stores: 16-row units cut the full-gather traffic 8x vs
         128-row blocks — but under the argmax fast path the selected
         units' rows are no longer gathered at all, and the dominant cost
-        becomes the [R/sub, T] bms/arg/m2 gather sources (source-bytes
-        bound, ~138 GB/s scan-select), so sub DOUBLES to 32 there
+        becomes the [R/sub, T] refine sources — bms plus the packed
+        (m2, argmax) key (source-bytes bound, ~138 GB/s scan-select) —
+        so sub DOUBLES to 32 there
         (chip-measured -11%/tile at 1M x 768; sub=64 equal, kept at 32
         for the lower same-unit danger rate on clustered corpora).
         Low-dim huge stores keep 128-row units / 1024-row blocks
@@ -335,10 +336,10 @@ class SearchEngine:
         (8 * rows bytes). Rescore traffic by variant:
 
         * argmax fast path (steady state when enabled): refine rescan of
-          the THREE sub-level arrays (bms/barg/bm2, ~12 * rows / sub
-          bytes) + the danger gather of only ``gd`` units (~gd * sub *
-          dim_bytes, weighted ~2.5x for the measured ~57 ns/unit DMA
-          issue cost).
+          the TWO sub-level arrays (bms + the packed (m2, argmax) key,
+          ~8 * rows / sub bytes) + the danger gather of only ``gd``
+          units (~gd * sub * dim_bytes, weighted ~2.5x for the measured
+          ~57 ns/unit DMA issue cost).
         * round-3 full gather: bm_sub write + refine rescan
           (~8 * rows / sub) + ALL ks selected units' rows
           (~ks * sub * dim_bytes, same 2.5x weight).
@@ -355,7 +356,7 @@ class SearchEngine:
         sub, _block, cpg = self._rescore_geometry(k_eff)
         if self.config.rescore_argmax != "off":
             gd = max(1, self.config.danger_units)
-            rescore_traffic = (12 * rows // sub
+            rescore_traffic = (8 * rows // sub
                                + 5 * gd * sub * dim * itemsize // 2)
         else:
             ks = k_eff + (-k_eff) % cpg

@@ -501,8 +501,12 @@ def rescore_topk(
       unit. A top-k row that is NOT its unit's argmax forces that unit's
       ``max2 >= w`` (with ``w`` the k-th best selected unit max: the top-k
       selected argmaxes are k distinct rows scoring ``>= w``, so the true
-      k-th score is ``>= w``). Such "danger" units are counted on the
-      small ``[T, ks]`` second-max array; when every query has at most
+      k-th score is ``>= w``). The kernel emits each unit's (max2, argmax)
+      packed into ONE conservative int32 sort key
+      (:func:`..topk_pallas.pack_m2_argmax_key` — key >= the exact m2
+      key, so the test can only overcount danger, never miss). Danger
+      units are counted on the small ``[T, ks]`` key array; when every
+      query has at most
       ``danger_units`` of them, ONLY those units' rows are DMA-gathered
       (:func:`..topk_pallas.gather_rescore`, top-``gd`` by max2 — by
       value, so a count within capacity implies full coverage), their
@@ -568,7 +572,7 @@ def rescore_topk(
     if use_pallas:
         try:
             pick_bm2_row_tile(rows_pad, d, q_tile, sub, block, itemsize,
-                              extra_outs=2 if argmax_fast else 0)
+                              extra_outs=1 if argmax_fast else 0)
         except ValueError:
             if argmax_fast:
                 argmax_fast = False  # extra outputs blew VMEM: plain pass
@@ -675,7 +679,7 @@ def rescore_topk(
             gd = max(cpg_d, _round_up(min(danger_units, ks), cpg_d))
             af = argmax_fast and ks >= k and gd <= ks
             rt = pick_bm2_row_tile(rows_pad, d, t, sub, block, itemsize,
-                                   extra_outs=2 if af else 0)
+                                   extra_outs=1 if af else 0)
             fused = bm2_emits_block(rows_pad, rt, block, t)
             outs = matmul_blockmax2_only(
                 q_block, shard, total_valid,
@@ -685,7 +689,7 @@ def rescore_topk(
             if not (fused or af):
                 outs = (outs,)
             bms_t = outs[0]
-            barg_t, bm2_t = (outs[1], outs[2]) if af else (None, None)
+            key_t = outs[1] if af else None
             bm_t = outs[-1] if fused else None
             bms3 = bms_t.T.reshape(t, nb, spb)
             if bm_t is None:
@@ -728,24 +732,30 @@ def rescore_topk(
                 return slow_gather(None)
 
             # ---- argmax fast path (see docstring proof) -----------------
-            barg3 = barg_t.T.reshape(t, nb, spb)
-            bm23 = bm2_t.T.reshape(t, nb, spb)
-            cand_arg = jnp.take_along_axis(
-                barg3, bids[:, :, None], axis=1).reshape(t, pool)
-            cand_m2 = jnp.take_along_axis(
-                bm23, bids[:, :, None], axis=1).reshape(t, pool)
-            arg_sel = jnp.take_along_axis(cand_arg, pos, axis=1)  # [T, ks]
-            m2_sel = jnp.take_along_axis(cand_m2, pos, axis=1)    # [T, ks]
+            # (m2, arg) arrive PACKED in one int32 key per unit
+            # (..topk_pallas.pack_m2_argmax_key): one refine-source
+            # transpose + rescan instead of two. The key is conservative
+            # (key >= exact m2 key), so every comparison below errs only
+            # toward MORE danger units — never a miss.
+            from .topk_pallas import m2_sort_key
+
+            key3 = key_t.T.reshape(t, nb, spb)
+            cand_key = jnp.take_along_axis(
+                key3, bids[:, :, None], axis=1).reshape(t, pool)
+            key_sel = jnp.take_along_axis(cand_key, pos, axis=1)  # [T, ks]
+            arg_sel = key_sel & 0xFFFF
             w = jax.lax.dynamic_slice_in_dim(vals, k - 1, 1, axis=1)
+            w_key = m2_sort_key(w)
             a_gids = jnp.where(
                 vals > PAD_SIM, base_i32 + uids * sub + arg_sel, int_max
             )
-            danger_count = jnp.sum((m2_sel >= w).astype(jnp.int32), axis=1)
+            danger_count = jnp.sum(
+                (key_sel >= w_key).astype(jnp.int32), axis=1)
             cert = jnp.all(danger_count <= gd)
-            # top-gd units BY max2 value: a count within capacity implies
-            # every unit with max2 >= w is covered (any excluded unit
+            # top-gd units BY packed key: a count within capacity implies
+            # every unit with key >= w_key is covered (any excluded unit
             # would need gd units above it, contradicting the count).
-            _, dpos = jax.lax.top_k(m2_sel, gd)
+            _, dpos = jax.lax.top_k(key_sel, gd)
             d_uids = jnp.take_along_axis(uids, dpos, axis=1)      # [T, gd]
             d_args = jnp.take_along_axis(arg_sel, dpos, axis=1)
             dperm = jnp.argsort(d_uids, axis=1)

@@ -249,6 +249,41 @@ def matmul_blockmax_only(
     return bm_t
 
 
+def m2_sort_key(x: jax.Array) -> jax.Array:
+    """Order-preserving int32 image of f32 ``x`` (-0.0 folded into +0.0):
+    the standard sign-flip uint transform, shifted back into int32 range.
+    ``x >= y  <=>  m2_sort_key(x) >= m2_sort_key(y)`` — integer
+    comparisons, immune to the TPU denormal flush."""
+    b = jax.lax.bitcast_convert_type(x + 0.0, jnp.uint32)
+    mono = jnp.where(x < 0, ~b, b | jnp.uint32(0x80000000))
+    return jax.lax.bitcast_convert_type(
+        mono ^ jnp.uint32(0x80000000), jnp.int32)
+
+
+def pack_m2_argmax_key(m2: jax.Array, arg: jax.Array) -> jax.Array:
+    """Pack a unit's second max and argmax row into ONE int32 key.
+
+    Layout: ``m2``'s monotone uint image rounded UP to the next 64Ki
+    boundary in the high 16 bits, ``arg`` (< 2^16) in the low 16.
+    Guarantees, with ``K(x) = m2_sort_key(x)`` the exact key:
+
+    * conservative: ``packed >= K(m2)`` — so ``m2 >= w`` implies
+      ``packed >= K(w)`` (the danger test never misses a unit), and
+      selecting the top ``gd`` units BY packed key covers every unit
+      with ``packed >= K(w)`` whenever their count is within ``gd``;
+    * tight: ``packed < K(m2) + 2^17`` (over-rounding admits only
+      spurious danger units within 2 buckets of ``w``, never a miss);
+    * exact recovery: ``packed & 0xFFFF == arg`` (the rounded image's
+      low 16 bits are zero; XOR of the sign bit never touches them).
+    """
+    b = jax.lax.bitcast_convert_type(m2 + 0.0, jnp.uint32)
+    mono = jnp.where(m2 < 0, ~b, b | jnp.uint32(0x80000000))
+    key_u = ((mono + jnp.uint32(0xFFFF)) & jnp.uint32(0xFFFF0000)) | (
+        arg.astype(jnp.uint32))
+    return jax.lax.bitcast_convert_type(
+        key_u ^ jnp.uint32(0x80000000), jnp.int32)
+
+
 def _make_bm2t_kernel(sub: int, block: int, emit_block: bool,
                       emit_argmax: bool = False):
     def _kernel(limit_ref, q_ref, s_ref, *out_refs):
@@ -261,11 +296,16 @@ def _make_bm2t_kernel(sub: int, block: int, emit_block: bool,
         are exact attained maxima of the oracle's scores.
 
         With ``emit_argmax`` the pass also emits each unit's argmax row
-        (lowest attaining index, int32 in ``[0, sub)``) and its second
-        max (the max EXCLUDING the argmax row — equal to the max when the
-        unit holds a duplicate maximum). The extra VPU reductions hide
-        under the MXU dot (chip-measured: no pass-time change), which is
-        what makes the sims-free argmax fast path free to enable."""
+        (lowest attaining index) and its second max (the max EXCLUDING
+        the argmax row — equal to the max when the unit holds a duplicate
+        maximum) PACKED into one int32 sort key
+        (:func:`pack_m2_argmax_key`): m2's order-preserving uint image
+        rounded UP to a 64Ki boundary in the high 16 bits, the argmax in
+        the low 16. One [RT/sub, T] output instead of two halves the
+        refine-source traffic the host-side fast path must rescan. The
+        extra VPU reductions hide under the MXU dot (chip-measured: no
+        pass-time change), which is what makes the sims-free argmax fast
+        path free to enable."""
         sims_t = jax.lax.dot_general(
             s_ref[:],
             q_ref[:],
@@ -285,10 +325,10 @@ def _make_bm2t_kernel(sub: int, block: int, emit_block: bool,
                 jnp.int32, (rt // sub, sub, t), 1)
             eq = sims3 == bms[:, None, :]
             arg = jnp.min(jnp.where(eq, iota, sub), axis=1)
-            out_refs[i][:] = arg
             masked = jnp.where(iota == arg[:, None, :], PAD_SIM, sims3)
-            out_refs[i + 1][:] = jnp.max(masked, axis=1)
-            i += 2
+            m2 = jnp.max(masked, axis=1)
+            out_refs[i][:] = pack_m2_argmax_key(m2, arg)
+            i += 1
         if emit_block:
             out_refs[i][:] = jnp.max(
                 bms.reshape(rt // block, block // sub, t), axis=1)
@@ -365,13 +405,15 @@ def matmul_blockmax2_only(
     otherwise returns ``bm_sub`` alone and the caller reduces in XLA (max
     is order-independent, so both forms give identical exact maxima).
 
-    With ``emit_argmax`` the pass additionally emits ``arg [R/sub, T]``
-    int32 (each unit's lowest max-attaining row, shard-local within the
-    unit) and ``m2 [R/sub, T]`` f32 (the unit's max EXCLUDING that row) —
-    the inputs of the sims-free argmax fast path
-    (:func:`..topk.rescore_topk`). Output order:
-    ``(bm_sub, [arg, m2,] [bm])``. Chip-measured: the extra VPU
-    reductions hide under the MXU dot (no pass-time change).
+    With ``emit_argmax`` the pass additionally emits ``key [R/sub, T]``
+    int32 — each unit's argmax row (lowest max-attaining, shard-local)
+    and second max (the unit's max EXCLUDING that row) packed into one
+    conservative sort key (:func:`pack_m2_argmax_key`) — the input of
+    the sims-free argmax fast path (:func:`..topk.rescore_topk`).
+    Output order: ``(bm_sub, [key,] [bm])``. Chip-measured: the extra
+    VPU reductions hide under the MXU dot (no pass-time change), and one
+    packed output instead of (arg, m2) halves the host-side refine
+    traffic.
 
     ``R`` must be a multiple of the row tile and of ``block``; ``sub``
     must divide ``block``."""
@@ -383,7 +425,7 @@ def matmul_blockmax2_only(
         raise ValueError(f"sub {sub} must divide block {block}")
     rt = pick_bm2_row_tile(r, d, t, sub, block,
                            jnp.dtype(shard.dtype).itemsize,
-                           extra_outs=2 if emit_argmax else 0)
+                           extra_outs=1 if emit_argmax else 0)
     if emit_block and not bm2_emits_block(r, rt, block, t):
         raise ValueError(
             f"emit_block illegal at rt={rt}, block={block} (sublane"
@@ -396,12 +438,11 @@ def matmul_blockmax2_only(
     ]
     out_shape = [jax.ShapeDtypeStruct((r // sub, t), jnp.float32)]
     if emit_argmax:
-        for dt in (jnp.int32, jnp.float32):
-            out_specs.append(
-                pl.BlockSpec((rt // sub, t), lambda i, *_: (i, 0),
-                             memory_space=pltpu.VMEM)
-            )
-            out_shape.append(jax.ShapeDtypeStruct((r // sub, t), dt))
+        out_specs.append(
+            pl.BlockSpec((rt // sub, t), lambda i, *_: (i, 0),
+                         memory_space=pltpu.VMEM)
+        )
+        out_shape.append(jax.ShapeDtypeStruct((r // sub, t), jnp.int32))
     if emit_block:
         out_specs.append(
             pl.BlockSpec((rt // block, t), lambda i, *_: (i, 0),
@@ -424,7 +465,7 @@ def matmul_blockmax2_only(
         cost_estimate=pl.CostEstimate(
             flops=2 * t * d * r,
             bytes_accessed=t * d * 2 + r * d * 2
-            + (1 + (2 if emit_argmax else 0)) * (r // sub) * t * 4,
+            + (1 + (1 if emit_argmax else 0)) * (r // sub) * t * 4,
             transcendentals=0,
         ),
         interpret=interpret,

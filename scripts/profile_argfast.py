@@ -20,7 +20,7 @@ import numpy as np
 
 from better_search_rag_rust_tpu.ops import topk as T
 from better_search_rag_rust_tpu.ops.topk_pallas import (
-    gather_rescore, matmul_blockmax2_only,
+    gather_rescore, m2_sort_key, matmul_blockmax2_only,
 )
 
 R, D, block, cpg = 1_015_808, 768, 128, 8
@@ -54,7 +54,7 @@ def main():
             emit_argmax=True)
 
     def upto_select(qq, sh):
-        bms_t, barg_t, bm2_t, bm_t = bm_pass(qq, sh)
+        bms_t, key_t, bm_t = bm_pass(qq, sh)
         bm = bm_t.T
         sup_w = 8
         nsup = nb // sup_w
@@ -72,10 +72,10 @@ def main():
         _, pos = T._fast_topk(cand_bm0, kb)
         bids = jnp.take_along_axis(cand_bids, pos, axis=1)
         bids = jnp.sort(bids, axis=1)
-        return bms_t, barg_t, bm2_t, bids
+        return bms_t, key_t, bids
 
     def upto_refine(qq, sh):
-        bms_t, barg_t, bm2_t, bids = upto_select(qq, sh)
+        bms_t, key_t, bids = upto_select(qq, sh)
         bms3 = bms_t.T.reshape(t, nb, spb)
         cand_bm = jnp.take_along_axis(
             bms3, bids[:, :, None], axis=1).reshape(t, pool)
@@ -85,27 +85,25 @@ def main():
         ).reshape(t, pool)
         vals, pos = T._fast_topk(cand_bm, ks)
         uids = jnp.take_along_axis(cand_uids, pos, axis=1)
-        return barg_t, bm2_t, bids, vals, pos, uids
+        return key_t, bids, vals, pos, uids
 
     def upto_pool(qq, sh):
-        barg_t, bm2_t, bids, vals, pos, uids = upto_refine(qq, sh)
-        barg3 = barg_t.T.reshape(t, nb, spb)
-        bm23 = bm2_t.T.reshape(t, nb, spb)
-        cand_arg = jnp.take_along_axis(
-            barg3, bids[:, :, None], axis=1).reshape(t, pool)
-        cand_m2 = jnp.take_along_axis(
-            bm23, bids[:, :, None], axis=1).reshape(t, pool)
-        arg_sel = jnp.take_along_axis(cand_arg, pos, axis=1)
-        m2_sel = jnp.take_along_axis(cand_m2, pos, axis=1)
-        return vals, uids, arg_sel, m2_sel
+        key_t, bids, vals, pos, uids = upto_refine(qq, sh)
+        key3 = key_t.T.reshape(t, nb, spb)
+        cand_key = jnp.take_along_axis(
+            key3, bids[:, :, None], axis=1).reshape(t, pool)
+        key_sel = jnp.take_along_axis(cand_key, pos, axis=1)
+        arg_sel = key_sel & 0xFFFF
+        return vals, uids, arg_sel, key_sel
 
     def upto_danger(qq, sh):
-        vals, uids, arg_sel, m2_sel = upto_pool(qq, sh)
+        vals, uids, arg_sel, key_sel = upto_pool(qq, sh)
         w = jax.lax.dynamic_slice_in_dim(vals, k - 1, 1, axis=1)
+        w_key = m2_sort_key(w)
         a_gids = jnp.where(vals > T.PAD_SIM, uids * sub + arg_sel, int_max)
-        danger_count = jnp.sum((m2_sel >= w).astype(jnp.int32), axis=1)
+        danger_count = jnp.sum((key_sel >= w_key).astype(jnp.int32), axis=1)
         cert = jnp.all(danger_count <= GD)
-        _, dpos = jax.lax.top_k(m2_sel, GD)
+        _, dpos = jax.lax.top_k(key_sel, GD)
         d_uids = jnp.take_along_axis(uids, dpos, axis=1)
         d_args = jnp.take_along_axis(arg_sel, dpos, axis=1)
         dperm = jnp.argsort(d_uids, axis=1)

@@ -486,11 +486,12 @@ def test_fast_topk_matches_lax_topk():
 def test_bm2_argmax_emission_interpret():
     """With emit_argmax the bm pass also emits each unit's argmax row
     (lowest attaining index) and second max (max excluding that row —
-    equal to the max for duplicate maxima). Validated against NumPy on
-    tie-heavy data."""
+    equal to the max for duplicate maxima), packed into one conservative
+    int32 key. Validated against NumPy on tie-heavy data: exact argmax
+    recovery, and the key bracketed by [exact m2 key, exact + 2^17)."""
     import jax.numpy as jnp
     from better_search_rag_rust_tpu.ops.topk_pallas import (
-        PAD_SIM, matmul_blockmax2_only,
+        PAD_SIM, m2_sort_key, matmul_blockmax2_only,
     )
 
     rng = np.random.default_rng(93)
@@ -501,7 +502,7 @@ def test_bm2_argmax_emission_interpret():
     qs = rng.standard_normal((T, D)).astype(np.float32)
     valid = 1000               # pad tail, incl. a partially padded unit
 
-    bms, arg, m2, bm = matmul_blockmax2_only(
+    bms, key, bm = matmul_blockmax2_only(
         jnp.asarray(qs), jnp.asarray(mat), jnp.int32(valid),
         interpret=True, sub=sub, block=block, emit_block=True,
         emit_argmax=True,
@@ -513,21 +514,67 @@ def test_bm2_argmax_emission_interpret():
     # argmax must match NumPy wherever the unit's top-two gap is clearly
     # resolved (near-ties may rank differently between NumPy's and XLA's
     # f32 accumulation orders; the kernel need only be self-consistent)
-    arg_k = np.asarray(arg).T
+    key_k = np.asarray(key).T
+    arg_k = key_k & 0xFFFF
     arg_ref = s3.argmax(axis=2)
     srt = np.sort(s3, axis=2)
     clear = (srt[:, :, -1] - srt[:, :, -2]) > 1e-4
     np.testing.assert_array_equal(arg_k[clear], arg_ref[clear])
-    # second max: max excluding the KERNEL's argmax row (self-consistency)
+    # packed key: decoding its high bits recovers the second max to
+    # within one 64Ki rounding bucket (~0.008 absolute at |x| ~ 1);
+    # the kernel's f32 accumulation differs from NumPy's by ~1e-6, so
+    # the conservative side gets that much slack here (the EXACT bracket
+    # is proven on the one-hot store below).
     masked = np.where(
         np.arange(sub)[None, None, :] == arg_k[:, :, None], PAD_SIM, s3
     )
-    np.testing.assert_allclose(np.asarray(m2).T, masked.max(axis=2),
-                               rtol=1e-5)
+    m2_ref = masked.max(axis=2).astype(np.float32)
+    decoded = _decode_key_m2(key_k)
+    assert np.all(decoded >= m2_ref - 1e-4)
+    assert np.all(decoded <= m2_ref + 0.02 * np.maximum(np.abs(m2_ref), 1))
+    # the key transform itself is order-preserving, incl. across signs
+    probe = np.array([-2.0, -1.0, -0.0, 0.0, 1e-8, 0.5, 1.0],
+                     dtype=np.float32)
+    pk = np.asarray(m2_sort_key(jnp.asarray(probe)))
+    assert np.all(np.diff(pk) >= 0) and pk[2] == pk[3]
     np.testing.assert_allclose(
         np.asarray(bm).T, sims.reshape(T, R // block, block).max(axis=2),
         rtol=1e-6,
     )
+
+    # --- one-hot store: every score is a single product, bitwise
+    # identical in any arithmetic -> the exact conservative-and-tight
+    # bracket [exact m2 key, exact + 2^17) must hold bit-for-bit.
+    mat1 = np.zeros((R, D), dtype=np.float32)
+    cols = rng.integers(0, D, size=R)
+    scale = rng.standard_normal(R).astype(np.float32)
+    mat1[np.arange(R), cols] = scale
+    bms1, key1 = matmul_blockmax2_only(
+        jnp.asarray(qs), jnp.asarray(mat1), jnp.int32(R),
+        interpret=True, sub=sub, block=block, emit_argmax=True,
+    )
+    sims1 = (qs[:, cols] * scale[None, :]).astype(np.float32)
+    s31 = sims1.reshape(T, R // sub, sub)
+    key1_k = np.asarray(key1).T
+    arg1 = key1_k & 0xFFFF
+    masked1 = np.where(
+        np.arange(sub)[None, None, :] == arg1[:, :, None], PAD_SIM, s31
+    )
+    m21 = masked1.max(axis=2).astype(np.float32)
+    exact = np.asarray(m2_sort_key(jnp.asarray(m21))).astype(np.int64)
+    assert np.all(key1_k.astype(np.int64) >= exact)
+    assert np.all(key1_k.astype(np.int64) < exact + (1 << 17))
+
+
+def _decode_key_m2(key: np.ndarray) -> np.ndarray:
+    """Upper bound on the packed key's m2: invert the monotone uint
+    transform of the key's high 16 bits (arg cleared)."""
+    u = (key.astype(np.int64) & 0xFFFFFFFF).astype(np.uint32) ^ np.uint32(
+        0x80000000)
+    u &= np.uint32(0xFFFF0000)
+    neg = (u & np.uint32(0x80000000)) == 0
+    b = np.where(neg, ~u, u & np.uint32(0x7FFFFFFF))
+    return b.astype(np.uint32).view(np.float32)
 
 
 def test_rescore_argmax_fast_and_fallback_interpret():
