@@ -651,6 +651,58 @@ def test_rescore_argmax_fast_and_fallback_interpret():
     check(mat3, queries3, 50, "saturated")
 
 
+def test_rescore_superblock_group_selection_interpret():
+    """Large stores select SUPERBLOCK groups (8 blocks) and gather unit
+    maxima straight from bms (nb >= 32*kb, nb % 8 == 0 — one selection
+    level fewer than block-select-then-refine). Pin the path with small
+    k on a store big enough to trigger it, with same-unit duplicates
+    (danger gather) and a cross-unit tie, fast and slow variants vs the
+    oracle."""
+    import jax.numpy as jnp
+    from better_search_rag_rust_tpu.ops.topk import rescore_topk, serial_topk
+
+    rng = np.random.default_rng(96)
+    kw = dict(q_tile=8, use_pallas=True, sub_block=32, block=128, cpg=8)
+
+    # Clean random store (distinct scores; the interpret-mode bm-vs-gather
+    # arithmetic mix cannot flip ~1e-3 gaps): k=3 -> kb=3, nb=128 >= 32*3
+    # -> superblock path (ng=16, gw=32). Fast, slow and oracle must agree.
+    mat = rng.standard_normal((16384, 128)).astype(np.float32)
+    mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+    queries = np.concatenate(
+        [mat[[40, 5000, 9999]], rng.standard_normal((5, 128))]
+    ).astype(np.float32)
+    queries /= np.linalg.norm(queries, axis=1, keepdims=True)
+    args = (jnp.asarray(mat), jnp.asarray(queries), 3, jnp.int32(0), 16384)
+    v_fast, i_fast = rescore_topk(*args, argmax_fast=True, **kw)
+    v_slow, i_slow = rescore_topk(*args, argmax_fast=False, **kw)
+    o_ids, _ = serial_topk(mat, queries, 3)
+    np.testing.assert_array_equal(np.asarray(i_slow), o_ids)
+    np.testing.assert_array_equal(np.asarray(i_fast), o_ids)
+    np.testing.assert_allclose(np.asarray(v_fast), np.asarray(v_slow),
+                               rtol=1e-5)
+
+    # One-hot store (every score a single product — bitwise in any
+    # arithmetic, so exact tie discipline is checkable in interpret
+    # mode): same-unit triple (danger gather) + cross-unit exact ties,
+    # k=2 -> kb=2, nb=64 >= 32*2 -> superblock path.
+    mat2 = np.zeros((8192, 768), dtype=np.float32)
+    mat2[np.arange(8192), np.arange(8192) % 768] = 1.0
+    mat2[200] = mat2[201] = mat2[202] = 0.0
+    mat2[200:203, 99] = 1.0              # same-unit triple at dim 99
+    q2 = np.zeros((3, 768), dtype=np.float32)
+    for rank, d in enumerate([99, 5, 33, 450]):
+        q2[0, d] = 0.9 - 0.1 * rank
+    q2[1, 5] = 1.0                       # ~10-way exact cross-unit tie
+    q2[2, 767] = 1.0
+    args2 = (jnp.asarray(mat2), jnp.asarray(q2), 2, jnp.int32(0), 8192)
+    v2f, i2f = rescore_topk(*args2, argmax_fast=True, **kw)
+    v2s, i2s = rescore_topk(*args2, argmax_fast=False, **kw)
+    o2, _ = serial_topk(mat2, q2, 2)
+    np.testing.assert_array_equal(np.asarray(i2s), o2)
+    np.testing.assert_array_equal(np.asarray(i2f), o2)
+
+
 def test_engine_rescore_argmax_off_matches(mesh8):
     """SearchConfig(rescore_argmax="off") must give identical results to
     the default on the rescore kernel."""
