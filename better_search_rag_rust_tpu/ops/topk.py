@@ -143,11 +143,11 @@ def _merge_blockmax(
     # resolves score ties to the lowest global index, exactly like the oracle.
     block_ids = jnp.sort(block_ids, axis=1)
     cand_vals = jnp.take_along_axis(
-        sims3, block_ids[:, :, None], axis=1
+        sims3, block_ids[:, :, None], axis=1, mode="promise_in_bounds"
     ).reshape(q, kb * BLOCK)
     gids3 = jnp.broadcast_to(gids.reshape(1, nb, BLOCK), (q, nb, BLOCK))
     cand_ids = jnp.take_along_axis(
-        gids3, block_ids[:, :, None], axis=1
+        gids3, block_ids[:, :, None], axis=1, mode="promise_in_bounds"
     ).reshape(q, kb * BLOCK)
     return merge_topk(carry_vals, carry_ids, cand_vals, cand_ids, k)
 
@@ -263,8 +263,11 @@ def _dense_chunk_topk(
 
     block_ids = _select_blocks(block_max, kb)
     block_ids = jnp.sort(block_ids, axis=1)  # ascending: oracle tie order
+    # promise_in_bounds: block_ids are top_k positions into [0, nb) by
+    # construction; skipping the clamp speeds the sims rescan ~20%
+    # (chip-measured on the group-selection pool gather).
     cand_vals = jnp.take_along_axis(
-        sims3, block_ids[:, :, None], axis=1
+        sims3, block_ids[:, :, None], axis=1, mode="promise_in_bounds"
     ).reshape(t, kb * block)
     local_cand = (
         block_ids[:, :, None] * block
@@ -666,7 +669,7 @@ def rescore_topk(
 
         if use_pallas:
             from .topk_pallas import (
-                bm2_emits_block, gather_rescore, matmul_blockmax2_only,
+                bm2_emit_width, gather_rescore, matmul_blockmax2_only,
                 pick_bm2_row_tile,
             )
 
@@ -696,40 +699,45 @@ def rescore_topk(
             af = argmax_fast and ks >= k and gd <= ks
             rt = pick_bm2_row_tile(rows_pad, d, t, sub, block, itemsize,
                                    extra_outs=1 if af else 0)
-            fused = bm2_emits_block(rows_pad, rt, block, t)
+            # Fused coarse maxima at the widest Mosaic-legal emit width
+            # (= block when legal; e.g. 256 at the 10M block=1024
+            # geometry where rt/block is not 8-aligned) — the group
+            # maxima then reduce from this small array instead of the
+            # full [R/sub, T] sub maxima.
+            ew = bm2_emit_width(rows_pad, rt, sub, block)
             outs = matmul_blockmax2_only(
                 q_block, shard, total_valid,
                 interpret=default_interpret(), sub=sub, block=block,
-                emit_block=fused, emit_argmax=af,
+                emit_block=bool(ew), emit_argmax=af,
+                emit_width=ew or block,
             )
-            if not (fused or af):
+            if not (ew or af):
                 outs = (outs,)
             bms_t = outs[0]
             key_t = outs[1] if af else None
-            bm_t = outs[-1] if fused else None
+            bmi_t = outs[-1] if ew else None
             bms3 = bms_t.T.reshape(t, ng, gw)
-            if bm_t is None:
-                # block level reduces in XLA from the (small) sub maxima;
-                # max is order-independent so both levels stay exact
-                # attained maxima of the oracle's scores.
-                bm = jnp.max(bms_t.T.reshape(t, nb, spb), axis=2)
-            else:
-                bm = bm_t.T
             # Group selection: top-kg groups by (max desc, idx asc), then
             # the selected groups' unit maxima refine to the top-ks units.
             # The containment proof applies unchanged at each level: a
             # true top-k row's group holds an element >= any non-selected
             # group's max (ties to the lower index), so kg >= k selected
             # groups precede every non-selected row in (score desc, idx
-            # asc) order; likewise ks >= k units within the pool.
-            if gw == spb:
-                gmax = bm
+            # asc) order; likewise ks >= k units within the pool. Max is
+            # order-independent, so group maxima reduced from any coarse
+            # level stay exact attained maxima of the oracle's scores.
+            if bmi_t is not None:
+                upg = (gw * sub) // ew   # emitted units per group
+                gmax = jnp.max(bmi_t.T.reshape(t, ng, upg), axis=2)
             else:
-                gmax = jnp.max(bm.reshape(t, ng, sup_w), axis=2)
+                gmax = jnp.max(bms3, axis=2)
             _, gids = _fast_topk(gmax, kg)
             gids = jnp.sort(gids, axis=1)  # ascending: oracle tie order
+            # promise_in_bounds: gids/pos are top_k positions — always in
+            # bounds; skipping the clamp runs the [T, R/sub] source scans
+            # ~20% faster (chip-measured, 0.54 -> 0.42 ms per 65 MB).
             cand_bm = jnp.take_along_axis(
-                bms3, gids[:, :, None], axis=1
+                bms3, gids[:, :, None], axis=1, mode="promise_in_bounds"
             ).reshape(t, pool)
             cand_uids = (
                 gids[:, :, None] * gw
@@ -768,7 +776,8 @@ def rescore_topk(
 
             key3 = key_t.T.reshape(t, ng, gw)
             cand_key = jnp.take_along_axis(
-                key3, gids[:, :, None], axis=1).reshape(t, pool)
+                key3, gids[:, :, None], axis=1, mode="promise_in_bounds"
+            ).reshape(t, pool)
             key_sel = jnp.take_along_axis(cand_key, pos, axis=1)  # [T, ks]
             arg_sel = key_sel & 0xFFFF
             w = jax.lax.dynamic_slice_in_dim(vals, k - 1, 1, axis=1)
@@ -827,7 +836,8 @@ def rescore_topk(
         bids = select_blocks_hier(bm, t, kb)
         # sims exist — take the candidate values straight from them.
         cand_sims = jnp.take_along_axis(
-            sims.reshape(t, nb, block), bids[:, :, None], axis=1
+            sims.reshape(t, nb, block), bids[:, :, None], axis=1,
+            mode="promise_in_bounds",
         ).reshape(t, kb * block)
         local_rows = (
             bids[:, :, None] * block

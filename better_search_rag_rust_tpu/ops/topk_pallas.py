@@ -285,7 +285,7 @@ def pack_m2_argmax_key(m2: jax.Array, arg: jax.Array) -> jax.Array:
 
 
 def _make_bm2t_kernel(sub: int, block: int, emit_block: bool,
-                      emit_argmax: bool = False):
+                      emit_argmax: bool = False, emit_width: int = 0):
     def _kernel(limit_ref, q_ref, s_ref, *out_refs):
         """One row tile, TRANSPOSED similarity: ``dot(store_tile [RT, D],
         q [T, D]) -> sims_t [RT, T]`` so row groups live on the SUBLANE
@@ -330,8 +330,9 @@ def _make_bm2t_kernel(sub: int, block: int, emit_block: bool,
             out_refs[i][:] = pack_m2_argmax_key(m2, arg)
             i += 1
         if emit_block:
+            ew = emit_width or block
             out_refs[i][:] = jnp.max(
-                bms.reshape(rt // block, block // sub, t), axis=1)
+                bms.reshape(rt // ew, ew // sub, t), axis=1)
 
     return _kernel
 
@@ -376,10 +377,29 @@ def bm2_emits_block(rows: int, rt: int, block: int, q_tile: int) -> bool:
     return (rt // block) % 8 == 0 or rt == rows
 
 
+def bm2_emit_width(rows: int, rt: int, sub: int, block: int) -> int:
+    """Widest Mosaic-legal emit width for the fused coarse-maxima output:
+    the largest divisor of ``block`` (multiple of ``sub``, > ``sub``)
+    whose ``(rt/ew, t)`` output tile keeps an 8-divisible sublane dim
+    (or spans the whole array). 0 when none exists — the caller then
+    reduces coarse maxima from bm_sub in XLA.
+
+    At the 10M geometry (block=1024, rt=2048) the block level itself is
+    illegal (rt/block = 2), but ew=256 is legal (rt/ew = 8) and cuts
+    the host-side coarse reduce's source from the full [R/sub, T] array
+    to a quarter of it."""
+    ew = block
+    while ew > sub:
+        if ew % sub == 0 and ((rt // ew) % 8 == 0 or rt == rows):
+            return ew
+        ew //= 2
+    return 0
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("interpret", "sub", "block", "emit_block",
-                     "emit_argmax"),
+                     "emit_argmax", "emit_width"),
 )
 def matmul_blockmax2_only(
     queries: jax.Array,
@@ -391,6 +411,7 @@ def matmul_blockmax2_only(
     block: int = BLOCK,
     emit_block: bool = False,
     emit_argmax: bool = False,
+    emit_width: int = 0,
 ):
     """Sub-block maxima ``bm_sub [R/sub, T]`` without materializing
     similarities: one streaming pass reduces each transposed sims tile to
@@ -426,10 +447,12 @@ def matmul_blockmax2_only(
     rt = pick_bm2_row_tile(r, d, t, sub, block,
                            jnp.dtype(shard.dtype).itemsize,
                            extra_outs=1 if emit_argmax else 0)
-    if emit_block and not bm2_emits_block(r, rt, block, t):
+    ew = emit_width or block
+    if emit_block and (block % ew or ew % sub or not (
+            (rt // ew) % 8 == 0 or rt == r)):
         raise ValueError(
-            f"emit_block illegal at rt={rt}, block={block} (sublane"
-            f" {rt // block} not 8-divisible); reduce bm_sub in XLA instead"
+            f"emit_block illegal at rt={rt}, emit_width={ew} (sublane"
+            f" {rt // ew} not 8-divisible); reduce bm_sub in XLA instead"
         )
     limit = jnp.asarray(valid_rows, dtype=jnp.int32).reshape((1,))
     out_specs = [
@@ -445,10 +468,10 @@ def matmul_blockmax2_only(
         out_shape.append(jax.ShapeDtypeStruct((r // sub, t), jnp.int32))
     if emit_block:
         out_specs.append(
-            pl.BlockSpec((rt // block, t), lambda i, *_: (i, 0),
+            pl.BlockSpec((rt // ew, t), lambda i, *_: (i, 0),
                          memory_space=pltpu.VMEM)
         )
-        out_shape.append(jax.ShapeDtypeStruct((r // block, t), jnp.float32))
+        out_shape.append(jax.ShapeDtypeStruct((r // ew, t), jnp.float32))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(r // rt,),
@@ -459,7 +482,7 @@ def matmul_blockmax2_only(
         out_specs=out_specs,
     )
     out = pl.pallas_call(
-        _make_bm2t_kernel(sub, block, emit_block, emit_argmax),
+        _make_bm2t_kernel(sub, block, emit_block, emit_argmax, ew),
         grid_spec=grid_spec,
         out_shape=out_shape,
         cost_estimate=pl.CostEstimate(
