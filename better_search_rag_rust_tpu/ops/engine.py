@@ -552,10 +552,17 @@ class SearchEngine:
             check_vma=False,
         )
 
+        n_shards = mesh.devices.size
+
         def merge(cand_vals, cand_ids):
             # Final merge (≙ root-only compute_global_top_k,
             # src/mpi_helpers/metrics.rs:141-171) — XLA inserts the gather,
             # and shard order keeps ties resolving to the lowest index.
+            # Every kernel emits its [Q, k] block already sorted
+            # (value desc, gid asc), so with ONE shard the top_k is an
+            # identity reorder — skip it.
+            if n_shards == 1:
+                return cand_vals, cand_ids
             top_vals, pos = jax.lax.top_k(cand_vals, k_eff)
             return top_vals, jnp.take_along_axis(cand_ids, pos, axis=1)
 

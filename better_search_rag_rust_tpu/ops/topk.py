@@ -814,6 +814,10 @@ def rescore_topk(
                 ok = (d_rows < total_valid) & ~is_arg
                 d_sims = jnp.where(ok, d_sims, PAD_SIM)
                 d_ids = jnp.where(ok, base_i32 + d_rows, int_max)
+                # (A danger pre-reduce to top-k before this sort was
+                # measured a NON-win even at the 10M gd*sub=1024 width:
+                # the two-key sort is sub-0.5 ms there and the extra
+                # approx_max_k only adds work — scripts/proto_dsort.py.)
                 c_vals = jnp.concatenate([vals, d_sims], axis=1)
                 c_ids = jnp.concatenate([a_gids, d_ids], axis=1)
                 # exact oracle order: two-key (value desc, gid asc) sort;
