@@ -454,6 +454,43 @@ def test_matmul_blockmax2_interpret():
     )
 
 
+def test_bm2_emit_width_and_coarse_output():
+    """bm2_emit_width picks the widest Mosaic-legal coarse width (block
+    when rt/block is 8-aligned, a divisor like 256 at the 10M-style
+    block=1024 geometry, 0 when nothing legal), and the fused coarse
+    output holds exact attained maxima at that width."""
+    import jax.numpy as jnp
+    from better_search_rag_rust_tpu.ops.topk_pallas import (
+        bm2_emit_width, matmul_blockmax2_only,
+    )
+
+    # rt == rows (single tile): always legal at the block width itself
+    assert bm2_emit_width(2048, 2048, 16, 128) == 128
+    # multi-tile, rt/block 8-aligned: block width
+    assert bm2_emit_width(1 << 20, 2048, 32, 128) == 128
+    # the 10M geometry: rt/1024 = 2 sublanes illegal, 256 legal
+    assert bm2_emit_width(1 << 23, 2048, 128, 1024) == 256
+    # nothing legal above sub -> 0 (rt=512, block=512: 512 gives 1
+    # sublane, 256 gives 2, both non-8-aligned and rt != rows)
+    assert bm2_emit_width(1 << 20, 512, 128, 512) == 0
+
+    rng = np.random.default_rng(97)
+    R, D, T, valid = 4096, 128, 16, 3800
+    mat = rng.standard_normal((R, D)).astype(np.float32)
+    qs = rng.standard_normal((T, D)).astype(np.float32)
+    bms, bmi = matmul_blockmax2_only(
+        jnp.asarray(qs), jnp.asarray(mat), valid,
+        interpret=True, sub=16, block=1024, emit_block=True,
+        emit_width=256,
+    )
+    sims = qs @ mat.T
+    sims[:, valid:] = -3.0
+    np.testing.assert_allclose(
+        np.asarray(bmi).T, sims.reshape(T, R // 256, 256).max(axis=2),
+        rtol=1e-5,
+    )
+
+
 def test_fast_topk_matches_lax_topk():
     """_fast_topk == lax.top_k on every (vals, positions) pair, including
     heavy ties (forces the certificate's count-check), PAD_SIM-flooded
