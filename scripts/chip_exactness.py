@@ -35,21 +35,38 @@ def build_cases():
     cases.append(("all_dup_16k_128", m))   # every row duplicated 256x
     m = rng.standard_normal((300000, 64)).astype(np.float32)
     cases.append(("tall_300k_64", m))
+    # Big high-dim store: nb = 4688 >= 32*k at k=100, so this is the ONLY
+    # case that drives the HEADLINE path — superblock group selection +
+    # argmax fast path at k=100 — on real hardware against the full
+    # oracle (the bench's recall@10 self-retrieval check is weaker).
+    # Duplicate clusters place same-unit pairs (danger gather) and
+    # cross-unit exact ties. Restricted to the rescore kernels to bound
+    # the sweep's runtime (the dense kernels' arithmetic is already
+    # covered by the smaller cases).
+    m = rng.standard_normal((600000, 768)).astype(np.float32)
+    m[200000:200003] = m[123]    # same-unit triple + cross-unit dup
+    m[450000] = m[123]           # far cross-unit duplicate
+    m[37] = 0.0                  # zero row
+    cases.append(("dups_600k_768", m, ("rescore", "rescore-noarg")))
     return cases
 
 
 def main() -> int:
     mesh = create_mesh()
     failures = 0
-    for name, mat in build_cases():
+    for case in build_cases():
+        name, mat = case[0], case[1]
+        kernels = case[2] if len(case) > 2 else (
+            "pallas", "global", "rescore", "rescore-noarg", "blockmax",
+            "scan",
+        )
         for dtype in ("bfloat16", "float32"):
             store = DeviceStore.from_host(mat, mesh, dtype=dtype)
             # "rescore" default = argmax fast path (mixed bm/gather scores,
             # sound only because Mosaic bf16 dots are bitwise identical —
             # exactly what this on-hardware sweep must prove);
             # "rescore-noarg" pins the round-3 full-gather path.
-            for kernel in ("pallas", "global", "rescore", "rescore-noarg",
-                           "blockmax", "scan"):
+            for kernel in kernels:
                 eng = SearchEngine(
                     store,
                     SearchConfig(
