@@ -168,7 +168,12 @@ def _fast_topk(x: jax.Array, kk: int) -> Tuple[jax.Array, jax.Array]:
     [512, 7936]; the win shrinks with N, so narrow/huge-k cases go
     straight to ``top_k``."""
     n = x.shape[1]
-    kp = min(n, max(2 * kk, 128))
+    # kp slack beyond kk only buys LESS frequent certificate fallback on
+    # tie-saturated rows (never exactness — the fallback is exact top_k);
+    # the approx reduce + repair sort cost scales with kp, and shrinking
+    # 208 -> 128 at the pool-refine level measured -0.4 ms per [512, 1M]
+    # tile (scripts/proto_sel11.py), so keep kp tight.
+    kp = min(n, max(kk + 24, 128))
     if kp >= n // 2 or kk > 1024:
         return jax.lax.top_k(x, kk)
     av, ap = jax.lax.approx_max_k(x, kp, recall_target=1.0)
@@ -739,12 +744,14 @@ def rescore_topk(
             cand_bm = jnp.take_along_axis(
                 bms3, gids[:, :, None], axis=1, mode="promise_in_bounds"
             ).reshape(t, pool)
-            cand_uids = (
-                gids[:, :, None] * gw
-                + jnp.arange(gw, dtype=jnp.int32)[None, None, :]
-            ).reshape(t, pool)
             vals, pos = _fast_topk(cand_bm, ks)
-            uids = jnp.take_along_axis(cand_uids, pos, axis=1)
+            # uids from pos ARITHMETICALLY (pool position j maps to unit
+            # gids[j // gw] * gw + j % gw): a tiny [T, kg] gather + VPU
+            # instead of a [T, pool] take — the staged pos-take measured
+            # 0.39 ms/tile at 1M x 768 (scripts/proto_refine.py).
+            g_of = jnp.take_along_axis(
+                gids, pos // gw, axis=1, mode="promise_in_bounds")
+            uids = g_of * gw + pos % gw
 
             def slow_gather(_):
                 """Round-3 path: DMA-gather ALL ks selected units' rows."""
@@ -774,11 +781,13 @@ def rescore_topk(
             # toward MORE danger units — never a miss.
             from .topk_pallas import m2_sort_key
 
-            key3 = key_t.T.reshape(t, ng, gw)
-            cand_key = jnp.take_along_axis(
-                key3, gids[:, :, None], axis=1, mode="promise_in_bounds"
-            ).reshape(t, pool)
-            key_sel = jnp.take_along_axis(cand_key, pos, axis=1)  # [T, ks]
+            # Keys gathered DIRECTLY at the final units: one [T, R/sub]
+            # source scan replacing the pool-group gather AND the pos
+            # take (scan cost is source-bytes-bound either way, so the
+            # pool hop added only cost; scripts/proto_sel11.py).
+            key_sel = jnp.take_along_axis(
+                key_t.T, uids, axis=1, mode="promise_in_bounds"
+            )                                                     # [T, ks]
             arg_sel = key_sel & 0xFFFF
             w = jax.lax.dynamic_slice_in_dim(vals, k - 1, 1, axis=1)
             w_key = m2_sort_key(w)

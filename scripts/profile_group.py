@@ -90,21 +90,16 @@ def main():
         cand_bm = jnp.take_along_axis(
             bms3, gids[:, :, None], axis=1, mode="promise_in_bounds"
         ).reshape(t, pool)
-        cand_uids = (
-            gids[:, :, None] * gw
-            + jnp.arange(gw, dtype=jnp.int32)[None, None, :]
-        ).reshape(t, pool)
         vals, pos = T._fast_topk(cand_bm, ks)
-        uids = jnp.take_along_axis(cand_uids, pos, axis=1)
+        g_of = jnp.take_along_axis(
+            gids, pos // gw, axis=1, mode="promise_in_bounds")
+        uids = g_of * gw + pos % gw
         return key_t, gids, vals, pos, uids
 
     def upto_key(qq, sh):
         key_t, gids, vals, pos, uids = upto_refine(qq, sh)
-        key3 = key_t.T.reshape(t, ng, gw)
-        cand_key = jnp.take_along_axis(
-            key3, gids[:, :, None], axis=1, mode="promise_in_bounds"
-        ).reshape(t, pool)
-        key_sel = jnp.take_along_axis(cand_key, pos, axis=1)
+        key_sel = jnp.take_along_axis(
+            key_t.T, uids, axis=1, mode="promise_in_bounds")
         return vals, uids, key_sel
 
     def upto_danger(qq, sh):

@@ -520,6 +520,36 @@ def test_fast_topk_matches_lax_topk():
     np.testing.assert_array_equal(np.asarray(fp), np.asarray(tp))
 
 
+def test_refine_uids_arithmetic_identity():
+    """The refine tail derives unit ids from pool positions arithmetically
+    (uids = gids[pos // gw] * gw + pos % gw) and gathers keys directly at
+    those units — both must equal the take-based formulation they replaced
+    (pool gather + pos take), for any gids/pos."""
+    rng = np.random.default_rng(3)
+    t, ng, gw, kg, ks = 16, 31, 24, 9, 40
+    pool = kg * gw
+    gids = np.sort(
+        np.array([rng.choice(ng, size=kg, replace=False) for _ in range(t)]),
+        axis=1).astype(np.int32)
+    pos = np.array([rng.choice(pool, size=ks, replace=False)
+                    for _ in range(t)]).astype(np.int32)
+    key2 = rng.integers(-(2**31), 2**31 - 1,
+                        size=(t, ng * gw), dtype=np.int64).astype(np.int32)
+    # take-based (replaced) form
+    cand_uids = (gids[:, :, None] * gw + np.arange(gw)[None, None, :]
+                 ).reshape(t, pool)
+    uids_ref = np.take_along_axis(cand_uids, pos, axis=1)
+    key3 = key2.reshape(t, ng, gw)
+    cand_key = np.take_along_axis(key3, gids[:, :, None], axis=1
+                                  ).reshape(t, pool)
+    key_ref = np.take_along_axis(cand_key, pos, axis=1)
+    # arithmetic form (ops/topk.py tile_fn)
+    uids = np.take_along_axis(gids, pos // gw, axis=1) * gw + pos % gw
+    key_sel = np.take_along_axis(key2, uids, axis=1)
+    np.testing.assert_array_equal(uids, uids_ref)
+    np.testing.assert_array_equal(key_sel, key_ref)
+
+
 def test_bm2_argmax_emission_interpret():
     """With emit_argmax the bm pass also emits each unit's argmax row
     (lowest attaining index) and second max (max excluding that row —
