@@ -69,10 +69,15 @@ class EncoderConfig:
     matryoshka_dim: Optional[int] = None
     #: Compute dtype for the forward pass.
     dtype: str = "bfloat16"
-    #: Attention implementation: "auto" resolves to "xla_bf16" (bf16 logits,
-    #: f32 softmax — the measured-best serving config at S=512), "xla" forces
-    #: full-f32 logits (numerical parity checks pin this), "flash" forces the
-    #: Pallas flash kernel (only pays off beyond S=512; ~40% slower there).
+    #: Attention implementation: "auto" resolves to "fused" (the Pallas
+    #: rotary+softmax kernel keeping the [S, S] logits in VMEM — the
+    #: measured-best serving config at S=512, 13.5 -> 3.5 ms/layer on a
+    #: v5e; falls back to "xla_bf16" under sequence parallelism or
+    #: non-8-aligned sequence lengths), "xla_bf16" forces the bf16-logit
+    #: XLA chain, "xla" forces full-f32 logits (numerical parity checks
+    #: pin this), "flash" forces the Pallas flash kernel (only pays off
+    #: beyond S=512; ~40% slower there). The resolved impl is recorded in
+    #: store/snapshot encoder metadata and mismatches warn at serve time.
     attention_impl: str = "auto"
     #: Long-document handling: "truncate" keeps the reference's semantics
     #: (text beyond max_tokens is silently dropped, src/llm/hf.rs:62-67);

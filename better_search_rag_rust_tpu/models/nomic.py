@@ -130,16 +130,20 @@ def apply_rotary(
 # ---------------------------------------------------------------------------
 
 
-def _resolve_attention_impl(impl: str) -> str:
+def _resolve_attention_impl(impl: str, sp: bool = False) -> str:
     """"auto" resolves to the measured-best serving config on TPU:
-    ``xla_bf16`` (bf16 attention logits, f32 softmax reduction) — +10%
-    throughput over the f32-logit path at embedding parity within bf16
-    noise (cos > 0.999). Use "xla" for the full-f32-logit path (numerical
-    parity checks pin this one) and "flash" for long-context variants
-    (measured ~40% slower at S=512/head_dim=64 on a v5e — the
-    online-softmax win only pays off at longer sequences)."""
+    ``fused`` — the Pallas rotary+softmax+AV kernel that keeps the
+    [S, S] logits in VMEM (ops/attention_pallas.py; 13.5 → 3.5 ms/layer
+    at B=256/S=512 on a v5e vs the xla_bf16 chain, scripts/proto_attn.py).
+    Under sequence/tensor parallelism (``sp_mesh_axes`` set) auto stays
+    ``xla_bf16`` — a pallas_call does not partition under pjit, and the
+    trainer is the only SP user. Use "xla" for the full-f32-logit path
+    (numerical parity checks pin this one), "xla_bf16" for the bf16-logit
+    XLA chain, and "flash" for long-context variants (measured ~40%
+    slower at S=512/head_dim=64 — the online-softmax win only pays off
+    at longer sequences)."""
     if impl == "auto":
-        return "xla_bf16"
+        return "xla_bf16" if sp else "fused"
     return impl
 
 
@@ -158,12 +162,35 @@ class NomicAttention(nn.Module):
         qkv = nn.Dense(
             3 * d, use_bias=cfg.qkv_bias, dtype=cfg.dtype, name="Wqkv"
         )(x)
+
+        impl = _resolve_attention_impl(
+            cfg.attention_impl, sp=cfg.sp_mesh_axes is not None
+        )
+        if impl == "fused" and s % 8 == 0 and hd % 2 == 0:
+            # Fused rotary+attention Pallas kernel straight off the Wqkv
+            # projection layout — no [B,H,S,S] HBM logits, no transposes,
+            # rotary in-kernel (f32; the XLA paths rotate in bf16 — the
+            # variants agree to cos > 0.9999). 13.5 -> 3.5 ms/layer at
+            # the B=256/S=512 serving shape (scripts/proto_attn.py).
+            from ..ops.attention_pallas import fused_attention_qkv
+            from ..ops.topk_pallas import default_interpret
+
+            c2 = jnp.concatenate([cos, cos], axis=-1)
+            s2 = jnp.concatenate([-sin, sin], axis=-1)
+            ctx = fused_attention_qkv(
+                qkv, c2, s2, mask_bias[:, 0, 0, :].astype(jnp.float32),
+                h, 1.0 / math.sqrt(hd), interpret=default_interpret(),
+            )
+            return nn.Dense(d, use_bias=True, dtype=cfg.dtype,
+                            name="out_proj")(ctx)
+        if impl == "fused":
+            impl = "xla_bf16"  # shape-guard fallback (S % 8 or odd hd)
+
         qkv = qkv.reshape(b, s, 3, h, hd)
         q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
         q = apply_rotary(q, cos, sin)
         k = apply_rotary(k, cos, sin)
 
-        impl = _resolve_attention_impl(cfg.attention_impl)
         if impl == "xla_bf16":
             # Halve the attention-logits HBM footprint: QK^T accumulates to
             # bf16, softmax still reduces in f32. Embedding-quality impact is

@@ -147,6 +147,11 @@ class ContrastiveTrainer:
             config = dataclasses.replace(
                 config, sp_mesh_axes=(DATA_AXIS, MODEL_AXIS)
             )
+        if config.attention_impl in ("auto", "fused"):
+            # The fused serving kernel (ops/attention_pallas.py) has no
+            # VJP rule — training always takes the differentiable XLA
+            # attention (same math, bf16 logits).
+            config = dataclasses.replace(config, attention_impl="xla_bf16")
         self.config = config
         self.mesh = mesh
         self.model = NomicBertModel(config)

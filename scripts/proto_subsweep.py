@@ -40,10 +40,10 @@ def main():
     _force(shard); _force(q)
 
     variants = [
-        ("sub=16 (current)", 16, 128, 8),
-        ("sub=32", 32, 128, 8),
+        ("sub=32 (current)", 32, 128, 8),
         ("sub=64", 64, 128, 8),
-        ("sub=64 blk256", 64, 256, 8),
+        ("sub=128", 128, 128, 8),
+        ("sub=128 blk256", 128, 256, 8),
     ]
     fns = []
     for name, sub, blk, cpg in variants:

@@ -272,6 +272,78 @@ def test_flash_attention_matches_xla_interpret():
     assert cos.min() > 0.999, cos
 
 
+def test_fused_attention_matches_xla_interpret():
+    """The fused rotary+attention Pallas kernel (the "auto" serving
+    default; interpreted on CPU) must match the explicit XLA attention
+    within bf16 tolerance, including key padding."""
+    import dataclasses
+
+    cfg_x = NomicBertConfig(
+        vocab_size=256, hidden_size=64, num_layers=2, num_heads=4,
+        mlp_dim=128, max_tokens=128, attention_impl="xla",
+    )
+    enc_x = NomicEncoder(cfg_x, seed=3)
+    cfg_f = dataclasses.replace(cfg_x, attention_impl="fused")
+    enc_f = NomicEncoder(cfg_f, params=enc_x.params)
+
+    rng = np.random.default_rng(5)
+    ids = rng.integers(1, 256, size=(2, 128)).astype(np.int32)
+    mask = np.ones((2, 128), np.int32)
+    mask[0, 70:] = 0  # padded keys must not contribute
+
+    a = enc_x.encode_tokens(ids, mask)
+    b = enc_f.encode_tokens(ids, mask)
+    cos = np.sum(a * b, axis=1)
+    assert cos.min() > 0.999, cos
+
+
+def test_fused_attention_kernel_vs_einsum():
+    """Kernel-level identity: fused_attention_qkv == the reference
+    rotary + f32-logit einsum chain on the same operands (bf16 tolerance;
+    padded QUERY rows excluded — they are finite garbage by contract)."""
+    import math
+
+    import jax
+    import jax.numpy as jnp
+
+    from better_search_rag_rust_tpu.models.nomic import (
+        apply_rotary, rotary_tables)
+    from better_search_rag_rust_tpu.ops.attention_pallas import (
+        fused_attention_qkv, rotary_roll_tables)
+
+    B, H, S, hd = 2, 4, 64, 64
+    rng = np.random.default_rng(0)
+    qkv = jnp.asarray(
+        rng.standard_normal((B, S, 3, H, hd)).astype(np.float32),
+        dtype=jnp.bfloat16)
+    q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
+    cos, sin = rotary_tables(S, hd, base=1000.0)
+    mask = np.ones((B, S), np.int32)
+    mask[1, 40:] = 0
+    bias = jnp.asarray(np.where(mask, 0.0, -1e9).astype(np.float32))
+
+    qr = apply_rotary(q, jnp.asarray(cos), jnp.asarray(sin))
+    kr = apply_rotary(k, jnp.asarray(cos), jnp.asarray(sin))
+    logits = jnp.einsum("bshd,bthd->bhst", qr, kr,
+                        preferred_element_type=jnp.float32) / math.sqrt(hd)
+    logits = logits + bias[:, None, None, :]
+    probs = jax.nn.softmax(logits, axis=-1).astype(jnp.bfloat16)
+    ref = jnp.einsum("bhst,bthd->bshd", probs, v,
+                     preferred_element_type=jnp.float32)
+
+    c2, s2 = map(jnp.asarray, rotary_roll_tables(cos, sin))
+    out = fused_attention_qkv(
+        qkv.reshape(B, S, 3 * H * hd), c2, s2, bias, H,
+        1.0 / math.sqrt(hd), interpret=True,
+    ).reshape(B, S, H, hd)
+
+    a = np.asarray(ref, np.float32)[:, :40]
+    b = np.asarray(out, np.float32)[:, :40]
+    cossim = (a * b).sum() / (np.linalg.norm(a) * np.linalg.norm(b))
+    assert cossim > 0.999, cossim
+    assert np.abs(a - b).max() < 0.02, np.abs(a - b).max()
+
+
 def test_classic_bert_gelu_backbone():
     """The gelu activation path (classic BERT family, no gating) runs and
     produces normalized embeddings — the framework supports both the
