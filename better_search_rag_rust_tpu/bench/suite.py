@@ -406,7 +406,13 @@ def run_suite(name: str) -> dict:
         # Composed real-encoder ingest (reference's actual
         # embedding_generation phase, src/mpi_helpers/tasks.rs:94-148):
         # B=256 is the measured-best nomic serving batch (see run_encode_suite).
-        return run_pipeline_suite(files=1024, backend="nomic", batch=256)
+        # 12 batches measure steady state (4-batch runs swing ~±10% on the
+        # head/tail). The composed rate sits ~100 ms/batch above the
+        # forward (763 vs 1132 files/s): ~40 ms is the relay's per-batch
+        # synchronous readback (the encode suite pipelines dispatches and
+        # reads back once, so it does not pay this), the rest hermetic-
+        # tokenizer GIL shadow + dispatch (scripts/proto_ingest2.py).
+        return run_pipeline_suite(files=3072, backend="nomic", batch=256)
     if name == "encode":
         return run_encode_suite()
     if name == "jabref":
