@@ -344,6 +344,27 @@ def test_fused_attention_kernel_vs_einsum():
     assert np.abs(a - b).max() < 0.02, np.abs(a - b).max()
 
 
+def test_fused_attention_shape_guard_falls_back():
+    """Non-8-aligned sequence lengths cannot take the fused kernel; the
+    forward must silently fall back to xla_bf16 and still match the xla
+    reference (the guard is in NomicAttention, models/nomic.py)."""
+    import dataclasses
+
+    cfg_f = NomicBertConfig(
+        vocab_size=256, hidden_size=64, num_layers=1, num_heads=4,
+        mlp_dim=128, max_tokens=30, attention_impl="fused",
+    )
+    enc_f = NomicEncoder(cfg_f, seed=7)
+    cfg_x = dataclasses.replace(cfg_f, attention_impl="xla")
+    enc_x = NomicEncoder(cfg_x, params=enc_f.params)
+
+    ids = np.random.default_rng(1).integers(1, 256, size=(2, 30)).astype(np.int32)
+    mask = np.ones((2, 30), np.int32)
+    a = enc_f.encode_tokens(ids, mask)  # would crash if fused ran at S=30
+    b = enc_x.encode_tokens(ids, mask)
+    assert np.sum(a * b, axis=1).min() > 0.999
+
+
 def test_classic_bert_gelu_backbone():
     """The gelu activation path (classic BERT family, no gating) runs and
     produces normalized embeddings — the framework supports both the
