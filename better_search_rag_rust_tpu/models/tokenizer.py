@@ -161,6 +161,14 @@ class HashingTokenizer:
             return z, z.copy()
         _check_batch(texts)
         s = self.max_tokens
+        # GIL-free C++ fast path for all-ASCII batches (bitwise-identical
+        # ids — same blake2b, same split; tests/test_native.py pins it).
+        # Non-ASCII / NUL-bearing batches keep Python's Unicode semantics.
+        from ..native.tokenize import encode_batch_native
+
+        native = encode_batch_native(texts, s, self.vocab_size)
+        if native is not None:
+            return native
         ids = np.full((len(texts), s), PAD_ID, dtype=np.int32)
         mask = np.zeros((len(texts), s), dtype=np.int32)
         for row, text in enumerate(texts):

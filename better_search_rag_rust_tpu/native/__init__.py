@@ -6,6 +6,10 @@ reference implemented natively are C++:
 
 * ``bsr_corpus.cpp`` — multithreaded corpus walker + capped file reader
   (reference: src/source.rs:8-49, where ingest spends its host time).
+* ``bsr_tokenize.cpp`` — the hermetic hashing tokenizer's hot loop
+  (blake2b + word split, bitwise-compatible with
+  models/tokenizer.py:HashingTokenizer for ASCII inputs), GIL-free on a
+  thread pool.
 
 The shared library is built on demand with g++ (cached next to the sources);
 every consumer falls back to the pure-Python implementation when the
@@ -21,7 +25,7 @@ from pathlib import Path
 
 _DIR = Path(__file__).parent
 _LIB = _DIR / "libbsr_native.so"
-_SRC = _DIR / "bsr_corpus.cpp"
+_SRCS = [_DIR / "bsr_corpus.cpp", _DIR / "bsr_tokenize.cpp"]
 _lock = threading.Lock()
 _lib = None
 _build_failed = False
@@ -37,7 +41,7 @@ def _build() -> bool:
         subprocess.run(
             [
                 "g++", "-O2", "-std=c++17", "-shared", "-fPIC", "-pthread",
-                str(_SRC), "-o", str(tmp),
+                *[str(s) for s in _SRCS], "-o", str(tmp),
             ],
             check=True,
             capture_output=True,
@@ -58,7 +62,9 @@ def load():
             return _lib
         if _build_failed:
             return None
-        if not _LIB.exists() or _LIB.stat().st_mtime < _SRC.stat().st_mtime:
+        if not _LIB.exists() or _LIB.stat().st_mtime < max(
+            s.stat().st_mtime for s in _SRCS
+        ):
             if not _build():
                 _build_failed = True
                 return None
@@ -75,6 +81,16 @@ def load():
                 ctypes.c_int64,
                 ctypes.POINTER(ctypes.c_void_p),
                 ctypes.POINTER(ctypes.c_int64),
+                ctypes.POINTER(ctypes.c_int32),
+                ctypes.c_int32,
+            ]
+            lib.bsr_tokenize.restype = ctypes.c_int32
+            lib.bsr_tokenize.argtypes = [
+                ctypes.POINTER(ctypes.c_char_p),
+                ctypes.c_int32,
+                ctypes.c_int32,
+                ctypes.c_int32,
+                ctypes.POINTER(ctypes.c_int32),
                 ctypes.POINTER(ctypes.c_int32),
                 ctypes.c_int32,
             ]

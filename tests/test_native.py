@@ -76,3 +76,81 @@ def test_many_files_threaded(native_ok, tmp_path):
     out = native_corpus.read_files(paths, max_bytes=1 << 20)
     assert len(out) == 200
     assert all(c == f"class F{p.stem[1:]} {{}}" for p, c in out)
+
+
+# ---------------------------------------------------------------------------
+# Native hashing tokenizer (bsr_tokenize.cpp)
+# ---------------------------------------------------------------------------
+
+
+def test_native_tokenizer_bitwise_matches_python(native_ok):
+    """The C++ tokenizer must produce BITWISE-identical (ids, mask) to the
+    pure-Python HashingTokenizer on adversarial ASCII inputs — same blake2b
+    ids, same word split, same whitespace set, same truncation."""
+    import random
+    import string
+
+    from better_search_rag_rust_tpu.models.tokenizer import (
+        _WORD_RE, HashingTokenizer)
+    from better_search_rag_rust_tpu.native.tokenize import (
+        available, encode_batch_native)
+
+    if not available():
+        pytest.skip("native tokenizer unavailable")
+
+    tok = HashingTokenizer(vocab_size=30528, max_tokens=48)
+    rng = random.Random(0)
+    alphabet = (string.ascii_letters + string.digits +
+                " \t\n_()[]{};:.,!@#$%^&*-+=<>/?~`'\"|\\" +
+                "\x1c\x1d\x1e\x1f\x0b\x0c\r")
+    texts = ["x"] + [
+        "".join(rng.choice(alphabet) for _ in range(rng.randint(1, 300)))
+        for _ in range(100)
+    ]
+    nat = encode_batch_native(texts, 48, 30528)
+    assert nat is not None
+    ids = np.zeros((len(texts), 48), dtype=np.int32)
+    mask = np.zeros((len(texts), 48), dtype=np.int32)
+    for row, text in enumerate(texts):
+        words = _WORD_RE.findall(text.lower())[:46]
+        seq = [1] + [tok._token_id(w) for w in words] + [2]
+        ids[row, : len(seq)] = seq
+        mask[row, : len(seq)] = 1
+    np.testing.assert_array_equal(nat[0], ids)
+    np.testing.assert_array_equal(nat[1], mask)
+
+
+def test_native_tokenizer_rejects_non_ascii_and_nul(native_ok):
+    """Non-ASCII or NUL-bearing batches must route back to Python (None),
+    preserving Unicode lowercase/whitespace semantics."""
+    from better_search_rag_rust_tpu.native.tokenize import (
+        available, encode_batch_native)
+
+    if not available():
+        pytest.skip("native tokenizer unavailable")
+    assert encode_batch_native(["héllo"], 16, 30528) is None
+    assert encode_batch_native(["a\x00b"], 16, 30528) is None
+
+
+def test_hashing_tokenizer_dispatches_to_native(native_ok):
+    """encode_batch output is identical whether or not the native path is
+    available (the dispatch itself is covered by the bitwise test; this
+    pins the integration point, incl. long-token and truncation cases)."""
+    from better_search_rag_rust_tpu.models.tokenizer import HashingTokenizer
+    from better_search_rag_rust_tpu.native import tokenize as nt
+
+    tok = HashingTokenizer(vocab_size=1000, max_tokens=8)
+    texts = ["one two three four five six seven eight nine",
+             "a" * 500, "!@# $%^"]
+    a_ids, a_mask = tok.encode_batch(texts)
+
+    orig = nt.encode_batch_native
+    try:
+        nt.encode_batch_native = lambda *a, **k: None
+        b_ids, b_mask = tok.encode_batch(texts)
+    finally:
+        nt.encode_batch_native = orig
+    # the models.tokenizer module imports the function lazily per call, so
+    # patching the source module is enough
+    np.testing.assert_array_equal(a_ids, b_ids)
+    np.testing.assert_array_equal(a_mask, b_mask)
