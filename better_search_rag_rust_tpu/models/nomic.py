@@ -75,6 +75,11 @@ class NomicBertConfig:
 
     @staticmethod
     def from_encoder_config(cfg: EncoderConfig) -> "NomicBertConfig":
+        if cfg.dim % cfg.num_heads:
+            raise ValueError(
+                f"hidden dim {cfg.dim} is not divisible by num_heads "
+                f"{cfg.num_heads}; pass a matching --dim/num_heads pair"
+            )
         return NomicBertConfig(
             vocab_size=cfg.vocab_size,
             hidden_size=cfg.dim,
@@ -172,14 +177,14 @@ class NomicAttention(nn.Module):
             # rotary in-kernel (f32; the XLA paths rotate in bf16 — the
             # variants agree to cos > 0.9999). 13.5 -> 3.5 ms/layer at
             # the B=256/S=512 serving shape (scripts/proto_attn.py).
-            from ..ops.attention_pallas import fused_attention_qkv
+            from ..ops.attention_pallas import fused_attention_qkv_diff
             from ..ops.topk_pallas import default_interpret
 
             c2 = jnp.concatenate([cos, cos], axis=-1)
             s2 = jnp.concatenate([-sin, sin], axis=-1)
-            ctx = fused_attention_qkv(
+            ctx = fused_attention_qkv_diff(
                 qkv, c2, s2, mask_bias[:, 0, 0, :].astype(jnp.float32),
-                h, 1.0 / math.sqrt(hd), interpret=default_interpret(),
+                h, 1.0 / math.sqrt(hd), default_interpret(),
             )
             return nn.Dense(d, use_bias=True, dtype=cfg.dtype,
                             name="out_proj")(ctx)

@@ -147,10 +147,12 @@ class ContrastiveTrainer:
             config = dataclasses.replace(
                 config, sp_mesh_axes=(DATA_AXIS, MODEL_AXIS)
             )
-        if config.attention_impl in ("auto", "fused"):
-            # The fused serving kernel (ops/attention_pallas.py) has no
-            # VJP rule — training always takes the differentiable XLA
-            # attention (same math, bf16 logits).
+        if config.attention_impl in ("auto", "fused") and mesh.size > 1:
+            # The fused kernel differentiates (custom VJP with a
+            # flash-style recompute backward, ops/attention_pallas.py),
+            # but a pallas_call does not partition under pjit — so only
+            # 1-device meshes keep it; multi-device training takes the
+            # XLA attention (same math, bf16 logits).
             config = dataclasses.replace(config, attention_impl="xla_bf16")
         self.config = config
         self.mesh = mesh

@@ -199,3 +199,111 @@ def fused_attention_qkv(
         out_shape=jax.ShapeDtypeStruct((b, s, heads * hd), qkv.dtype),
         interpret=interpret,
     )(cos2, s2, qkv, bias)
+
+
+def _attn_qkv_bwd_kernel(cos_ref, sin_ref, qkv_ref, bias_ref, dctx_ref,
+                         dqkv_ref, *, scale: float, heads: int, hd: int):
+    """Flash-style backward: recompute the softmax per head in VMEM (no
+    residuals beyond the forward's own inputs), then the standard
+    dv = Pᵀg, dP = g vᵀ, dlogits = P∘(dP − rowsum(dP∘P)) chain, with the
+    rotary adjoint dx = g*cos2 + roll(g*s2, hd/2) (rotation is orthogonal
+    and the half-width roll is an involution)."""
+    qkv = qkv_ref[0]                                  # [S, 3*H*hd] bf16
+    dctx = dctx_ref[0]                                # [S, H*hd] bf16
+    c = cos_ref[...]                                  # [S, hd] f32
+    s = sin_ref[...]
+    bias = bias_ref[pl.program_id(0)][None, :]        # [1, S] f32
+    hd2 = hd // 2
+    outs = []
+    for h in range(heads):
+        q0 = qkv[:, (0 * heads + h) * hd:(0 * heads + h + 1) * hd]
+        k0 = qkv[:, (1 * heads + h) * hd:(1 * heads + h + 1) * hd]
+        v = qkv[:, (2 * heads + h) * hd:(2 * heads + h + 1) * hd]
+        g = dctx[:, h * hd:(h + 1) * hd]
+        qf = q0.astype(jnp.float32)
+        kf = k0.astype(jnp.float32)
+        qr = (qf * c + pltpu.roll(qf, hd2, 1) * s).astype(v.dtype)
+        kr = (kf * c + pltpu.roll(kf, hd2, 1) * s).astype(v.dtype)
+        logits = jax.lax.dot_general(
+            qr, kr, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * scale + bias
+        m = jnp.max(logits, axis=1, keepdims=True)
+        e = jnp.exp(logits - m)
+        p = e / jnp.sum(e, axis=1, keepdims=True)     # [S, S] f32
+        pb = p.astype(v.dtype)
+        dv = jax.lax.dot_general(                     # Pᵀ g -> [S, hd]
+            pb, g, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        dp = jax.lax.dot_general(                     # g vᵀ -> [S, S]
+            g, v, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        row = jnp.sum(dp * p, axis=1, keepdims=True)
+        ds = (p * (dp - row) * scale).astype(v.dtype)
+        dqr = jax.lax.dot_general(                    # ds k_rot -> [S, hd]
+            ds, kr, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        dkr = jax.lax.dot_general(                    # dsᵀ q_rot -> [S, hd]
+            ds, qr, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        dq0 = dqr * c + pltpu.roll(dqr * s, hd2, 1)
+        dk0 = dkr * c + pltpu.roll(dkr * s, hd2, 1)
+        outs.append((dq0, dk0, dv))
+    dt = dqkv_ref.dtype
+    dqkv_ref[0] = jnp.concatenate(
+        [o[part].astype(dt) for part in range(3) for o in outs], axis=1,
+    )                                                 # [S, 3*H*hd]
+
+
+def _fused_qkv_fwd(qkv, cos2, s2, bias, heads, scale, interpret):
+    out = fused_attention_qkv(qkv, cos2, s2, bias, heads, scale,
+                              interpret=interpret)
+    return out, (qkv, cos2, s2, bias)
+
+
+def _fused_qkv_bwd(heads, scale, interpret, res, dctx):
+    qkv, cos2, s2, bias = res
+    b, s, three_hhd = qkv.shape
+    hd = three_hhd // (3 * heads)
+    kern = functools.partial(_attn_qkv_bwd_kernel, scale=scale, heads=heads,
+                             hd=hd)
+    dqkv = pl.pallas_call(
+        kern,
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec((s, hd), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((s, hd), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, s, three_hhd), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((b, s), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, s, heads * hd), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, s, three_hhd), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct(qkv.shape, qkv.dtype),
+        interpret=interpret,
+    )(cos2, s2, qkv, bias, dctx.astype(qkv.dtype))
+    # Rotary tables and the key-padding bias carry no useful gradient for
+    # this model (tables are constants; bias comes from the token mask).
+    return (dqkv, jnp.zeros_like(cos2), jnp.zeros_like(s2),
+            jnp.zeros_like(bias))
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
+def fused_attention_qkv_diff(qkv, cos2, s2, bias, heads, scale,
+                             interpret=False):
+    """Differentiable wrapper over :func:`fused_attention_qkv`: the same
+    forward kernel plus a flash-style recompute backward kernel, so
+    single-device finetuning can keep the fused serving path (the trainer
+    still routes multi-device meshes to the XLA attention — a pallas_call
+    does not partition under pjit)."""
+    return fused_attention_qkv(qkv, cos2, s2, bias, heads, scale,
+                               interpret=interpret)
+
+
+fused_attention_qkv_diff.defvjp(_fused_qkv_fwd, _fused_qkv_bwd)

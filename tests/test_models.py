@@ -365,6 +365,56 @@ def test_fused_attention_shape_guard_falls_back():
     assert np.sum(a * b, axis=1).min() > 0.999
 
 
+def test_fused_attention_gradients_match_xla():
+    """The fused kernel's custom VJP (flash-style recompute backward) must
+    produce parameter gradients matching the XLA attention's autodiff
+    within bf16 tolerance (cosine per leaf > 0.99)."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+
+    from better_search_rag_rust_tpu.models.nomic import NomicBertModel
+
+    cfg_f = NomicBertConfig(
+        vocab_size=256, hidden_size=64, num_layers=2, num_heads=4,
+        mlp_dim=128, max_tokens=64, attention_impl="fused",
+    )
+    cfg_x = dataclasses.replace(cfg_f, attention_impl="xla")
+    mf, mx = NomicBertModel(cfg_f), NomicBertModel(cfg_x)
+
+    rng = np.random.default_rng(5)
+    ids = jnp.asarray(rng.integers(1, 256, size=(2, 64)), jnp.int32)
+    mask = np.ones((2, 64), np.int32)
+    mask[1, 40:] = 0
+    mask = jnp.asarray(mask)
+    params = mf.init(jax.random.PRNGKey(0), ids, mask)["params"]
+    probe = jnp.asarray(rng.standard_normal((2, 64, 64)), jnp.float32)
+
+    def loss(model):
+        def f(p):
+            h = model.apply({"params": p}, ids, mask).astype(jnp.float32)
+            return jnp.sum(h * probe)
+        return f
+
+    gf = jax.grad(loss(mf))(params)
+    gx = jax.grad(loss(mx))(params)
+    flat_f = jax.tree_util.tree_leaves_with_path(gf)
+    flat_x = dict(jax.tree_util.tree_leaves_with_path(gx))
+    checked = 0
+    for path, leaf_f in flat_f:
+        leaf_x = flat_x[path]
+        a = np.asarray(leaf_f, np.float64).ravel()
+        b = np.asarray(leaf_x, np.float64).ravel()
+        na, nb = np.linalg.norm(a), np.linalg.norm(b)
+        if na < 1e-6 and nb < 1e-6:
+            continue
+        cos = float(a @ b / (na * nb))
+        assert cos > 0.99, (jax.tree_util.keystr(path), cos)
+        checked += 1
+    assert checked > 10  # all layers' weights actually compared
+
+
 def test_classic_bert_gelu_backbone():
     """The gelu activation path (classic BERT family, no gating) runs and
     produces normalized embeddings — the framework supports both the
