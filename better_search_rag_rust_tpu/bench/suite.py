@@ -397,6 +397,56 @@ def run_encode_suite(batch: int = 256, iters: int = 8,
     }
 
 
+def run_finetune_suite(batch: int = 64, steps: int = 8,
+                       max_tokens: int = 512, num_layers: int = 12,
+                       hidden: int = 768) -> dict:
+    """Contrastive train-step throughput on the serving model size
+    (12L/768, random init): files/sec through one optimization step
+    (forward ×2 towers + backward + adamw). MFU counts ~3x the two
+    towers' forward matmul FLOPs (the standard fwd:bwd = 1:2 accounting).
+    On 1-device meshes the step rides the fused-attention custom VJP
+    (ops/attention_pallas.py); multi-device meshes take the XLA
+    attention."""
+    import jax
+
+    from ..models.nomic import NomicBertConfig
+    from ..models.train import ContrastiveTrainer
+    from ..parallel.mesh import create_mesh
+
+    cfg = NomicBertConfig(max_tokens=max_tokens, num_layers=num_layers,
+                          hidden_size=hidden, mlp_dim=4 * hidden)
+    n_dev = len(jax.devices())
+    mesh = create_mesh(shape=(n_dev, 1), axis_names=("data", "model"))
+    batch += (-batch) % n_dev  # DP shards the batch over the data axis
+    tr = ContrastiveTrainer(cfg, mesh, learning_rate=1e-5)
+    rng = np.random.default_rng(0)
+    ids = rng.integers(1, cfg.vocab_size, size=(batch, max_tokens)).astype(np.int32)
+    mask = np.ones((batch, max_tokens), np.int32)
+    ids_b = rng.integers(1, cfg.vocab_size, size=(batch, max_tokens)).astype(np.int32)
+
+    loss = tr.train_step(ids, mask, ids_b, mask)  # compile + warm
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        loss = tr.train_step(ids, mask, ids_b, mask)
+    elapsed = max(time.perf_counter() - t0, 1e-9)
+    peak = device_peak_flops()
+    flops = 3 * 2 * encoder_forward_flops(cfg, batch, max_tokens) * steps
+    return {
+        "metric": "finetune_files_per_sec",
+        "value": round(batch * steps / elapsed, 2),
+        "unit": "files/sec",
+        "vs_baseline": 0.0,
+        "steps_per_sec": round(steps / elapsed, 3),
+        "final_loss": float(loss),
+        "mfu": round(flops / elapsed / peak, 4) if peak else None,
+        "batch": batch,
+        "max_tokens": max_tokens,
+        "attention_impl": tr.config.attention_impl,
+        "devices": mesh.size,
+        "platform": jax.devices()[0].platform,
+    }
+
+
 def run_suite(name: str) -> dict:
     if name in SUITES:
         return run_search_suite(name, SUITES[name])
@@ -415,11 +465,13 @@ def run_suite(name: str) -> dict:
         return run_pipeline_suite(files=3072, backend="nomic", batch=256)
     if name == "encode":
         return run_encode_suite()
+    if name == "finetune":
+        return run_finetune_suite()
     if name == "jabref":
         from .jabref import run_jabref_suite
 
         return run_jabref_suite()
     raise ValueError(
         f"unknown suite {name!r}; available: "
-        f"{sorted(SUITES) + ['pipeline', 'pipeline_nomic', 'encode', 'jabref']}"
+        f"{sorted(SUITES) + ['pipeline', 'pipeline_nomic', 'encode', 'finetune', 'jabref']}"
     )

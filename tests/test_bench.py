@@ -76,3 +76,16 @@ def test_as_json_machine_readable():
     m.record_duration("op", 2.0, items=10)
     parsed = json.loads(m.as_json())
     assert parsed["op"]["throughput"] == 5.0
+
+
+def test_finetune_suite_smoke():
+    """The finetune suite runs a real train step end to end on the
+    emulated mesh and reports throughput + MFU fields."""
+    from better_search_rag_rust_tpu.bench.suite import run_finetune_suite
+
+    out = run_finetune_suite(batch=4, steps=1, max_tokens=32,
+                             num_layers=2, hidden=96)
+    assert out["metric"] == "finetune_files_per_sec"
+    assert out["value"] > 0
+    assert np.isfinite(out["final_loss"])
+    assert out["devices"] >= 1
