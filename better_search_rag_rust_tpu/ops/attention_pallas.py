@@ -100,7 +100,7 @@ def fused_attention(
 ) -> jax.Array:
     """Fused rotary+softmax attention; returns context [B, H, S, hd]."""
     b, h, s, hd = q.shape
-    if s % 8 or hd % 128 and hd % 8:
+    if s % 8 or hd % 8:
         raise ValueError(f"bad attention tile [{s}, {hd}]")
     kern = functools.partial(_attn_kernel, scale=scale, hd2=hd // 2)
     return pl.pallas_call(
