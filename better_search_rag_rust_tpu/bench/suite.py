@@ -424,11 +424,21 @@ def run_finetune_suite(batch: int = 64, steps: int = 8,
     mask = np.ones((batch, max_tokens), np.int32)
     ids_b = rng.integers(1, cfg.vocab_size, size=(batch, max_tokens)).astype(np.int32)
 
-    loss = tr.train_step(ids, mask, ids_b, mask)  # compile + warm
+    def _sync(l) -> float:
+        return float(jax.device_get(l))
+
+    loss_dev = tr.train_step_device(ids, mask, ids_b, mask)  # compile+warm
+    loss = _sync(loss_dev)
+    t0 = time.perf_counter()
+    loss = _sync(loss_dev)  # pure relay sync latency on a computed scalar
+    sync_cost = time.perf_counter() - t0
+    # Pipelined dispatches, ONE readback: a relayed chip charges ~26 ms
+    # per synchronous round trip (CLAUDE.md bench protocol).
     t0 = time.perf_counter()
     for _ in range(steps):
-        loss = tr.train_step(ids, mask, ids_b, mask)
-    elapsed = max(time.perf_counter() - t0, 1e-9)
+        loss_dev = tr.train_step_device(ids, mask, ids_b, mask)
+    loss = _sync(loss_dev)
+    elapsed = max(time.perf_counter() - t0 - sync_cost, 1e-9)
     peak = device_peak_flops()
     flops = 3 * 2 * encoder_forward_flops(cfg, batch, max_tokens) * steps
     return {

@@ -59,8 +59,10 @@ class NomicBertConfig:
     qkv_bias: bool = False
     mlp_bias: bool = False
     dtype: Any = jnp.bfloat16
-    #: "auto" resolves to "xla_bf16" (see :func:`_resolve_attention_impl`);
-    #: "flash" / "xla" / "xla_bf16" force one implementation.
+    #: "auto" resolves to "fused" (the VMEM-resident Pallas kernel; falls
+    #: back to "xla_bf16" under sequence parallelism or non-8-aligned
+    #: seq/head dims — see :func:`_resolve_attention_impl`);
+    #: "fused" / "flash" / "xla" / "xla_bf16" force one implementation.
     attention_impl: str = "auto"
     #: Megatron-style sequence parallelism: when set to (data_axis,
     #: model_axis) mesh names, the residual stream between blocks is
@@ -135,20 +137,33 @@ def apply_rotary(
 # ---------------------------------------------------------------------------
 
 
-def _resolve_attention_impl(impl: str, sp: bool = False) -> str:
+def _resolve_attention_impl(
+    impl: str, sp: bool = False,
+    seq_len: Optional[int] = None, head_dim: Optional[int] = None,
+) -> str:
     """"auto" resolves to the measured-best serving config on TPU:
     ``fused`` — the Pallas rotary+softmax+AV kernel that keeps the
     [S, S] logits in VMEM (ops/attention_pallas.py; 13.5 → 3.5 ms/layer
     at B=256/S=512 on a v5e vs the xla_bf16 chain, scripts/proto_attn.py).
-    Under sequence/tensor parallelism (``sp_mesh_axes`` set) auto stays
-    ``xla_bf16`` — a pallas_call does not partition under pjit, and the
-    trainer is the only SP user. Use "xla" for the full-f32-logit path
-    (numerical parity checks pin this one), "xla_bf16" for the bf16-logit
-    XLA chain, and "flash" for long-context variants (measured ~40%
-    slower at S=512/head_dim=64 — the online-softmax win only pays off
-    at longer sequences)."""
+    Auto stays ``xla_bf16`` under sequence/tensor parallelism
+    (``sp_mesh_axes`` set — a pallas_call does not partition under pjit,
+    and the trainer is the only SP user) and for Mosaic-illegal shapes
+    (seq % 8 or head_dim % 8 — the kernel's lane slices and half-width
+    roll need 8-aligned tiles). Callers that know the shapes pass them so
+    THIS function is the single source of truth for which impl actually
+    runs — the encoder records its return value in store/snapshot
+    metadata. Use "xla" for the full-f32-logit path (numerical parity
+    checks pin this one), "xla_bf16" for the bf16-logit XLA chain, and
+    "flash" for long-context variants (measured ~40% slower at
+    S=512/head_dim=64 — the online-softmax win only pays off at longer
+    sequences)."""
     if impl == "auto":
-        return "xla_bf16" if sp else "fused"
+        impl = "xla_bf16" if sp else "fused"
+    if impl == "fused" and (
+        (seq_len is not None and seq_len % 8)
+        or (head_dim is not None and head_dim % 8)
+    ):
+        return "xla_bf16"
     return impl
 
 
@@ -169,27 +184,26 @@ class NomicAttention(nn.Module):
         )(x)
 
         impl = _resolve_attention_impl(
-            cfg.attention_impl, sp=cfg.sp_mesh_axes is not None
+            cfg.attention_impl, sp=cfg.sp_mesh_axes is not None,
+            seq_len=s, head_dim=hd,
         )
-        if impl == "fused" and s % 8 == 0 and hd % 2 == 0:
+        if impl == "fused":
             # Fused rotary+attention Pallas kernel straight off the Wqkv
             # projection layout — no [B,H,S,S] HBM logits, no transposes,
             # rotary in-kernel (f32; the XLA paths rotate in bf16 — the
             # variants agree to cos > 0.9999). 13.5 -> 3.5 ms/layer at
             # the B=256/S=512 serving shape (scripts/proto_attn.py).
-            from ..ops.attention_pallas import fused_attention_qkv_diff
+            from ..ops.attention_pallas import (
+                fused_attention_qkv_diff, rotary_roll_tables)
             from ..ops.topk_pallas import default_interpret
 
-            c2 = jnp.concatenate([cos, cos], axis=-1)
-            s2 = jnp.concatenate([-sin, sin], axis=-1)
+            c2, s2 = rotary_roll_tables(cos, sin)
             ctx = fused_attention_qkv_diff(
                 qkv, c2, s2, mask_bias[:, 0, 0, :].astype(jnp.float32),
                 h, 1.0 / math.sqrt(hd), default_interpret(),
             )
             return nn.Dense(d, use_bias=True, dtype=cfg.dtype,
                             name="out_proj")(ctx)
-        if impl == "fused":
-            impl = "xla_bf16"  # shape-guard fallback (S % 8 or odd hd)
 
         qkv = qkv.reshape(b, s, 3, h, hd)
         q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]

@@ -215,14 +215,17 @@ class ContrastiveTrainer:
         self._batch_sharding = batch_sharding
         self._step = jax.jit(step_fn, donate_argnums=(0,))
 
-    def train_step(
+    def train_step_device(
         self,
         a_ids: np.ndarray,
         a_mask: np.ndarray,
         p_ids: np.ndarray,
         p_mask: np.ndarray,
-    ) -> float:
-        """One optimizer step; returns the loss."""
+    ) -> jax.Array:
+        """One optimizer step; returns the loss STILL ON DEVICE so callers
+        can pipeline steps without a synchronous readback per step (a
+        relayed chip charges ~26 ms per sync — the bench suite reads the
+        loss back once at the end)."""
         to_dev = lambda x: jax.device_put(
             np.asarray(x, dtype=np.int32), self._batch_sharding
         )
@@ -233,4 +236,16 @@ class ContrastiveTrainer:
                 self.state, to_dev(a_ids), to_dev(a_mask),
                 to_dev(p_ids), to_dev(p_mask),
             )
-        return float(jax.device_get(loss))
+        return loss
+
+    def train_step(
+        self,
+        a_ids: np.ndarray,
+        a_mask: np.ndarray,
+        p_ids: np.ndarray,
+        p_mask: np.ndarray,
+    ) -> float:
+        """One optimizer step; returns the loss (synchronous)."""
+        return float(jax.device_get(
+            self.train_step_device(a_ids, a_mask, p_ids, p_mask)
+        ))

@@ -44,15 +44,19 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def rotary_roll_tables(cos: np.ndarray, sin: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+def rotary_roll_tables(cos, sin) -> Tuple[jax.Array, jax.Array]:
     """[S, hd/2] cos/sin -> full-lane [S, hd] (cos2, s2) tables for the
     roll-formulation: rot(x) = x*cos2 + roll(x, hd/2, lanes)*s2.
 
     Position j < hd/2 computes x1*cos - x2*sin (roll brings x2 there),
     j >= hd/2 computes x2*cos + x1*sin — exactly NeoX rotate-halves
-    (models/nomic.py apply_rotary)."""
-    cos2 = np.concatenate([cos, cos], axis=-1)
-    s2 = np.concatenate([-sin, sin], axis=-1)
+    (models/nomic.py apply_rotary). This is the ONLY definition of the
+    roll convention — the backward kernel's rotary adjoint
+    (dx = g*cos2 + roll(g*s2)) is proven against exactly this sign
+    layout, so every caller (model, tests, protos) must come through
+    here."""
+    cos2 = jnp.concatenate([cos, cos], axis=-1)
+    s2 = jnp.concatenate([-sin, sin], axis=-1)
     return cos2, s2
 
 
