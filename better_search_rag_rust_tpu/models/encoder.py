@@ -252,7 +252,14 @@ def create_encoder(cfg: Optional[EncoderConfig] = None) -> EncoderService:
         svc.numerics = {
             "backend": svc.backend_label,
             "model": cfg.name,
-            "attention_impl": _resolve_attention_impl(cfg.attention_impl),
+            # Record the impl the forward will ACTUALLY run for these
+            # shapes (auto falls back to xla_bf16 on non-8-aligned
+            # seq/head dims), so the serve-time mismatch warning is keyed
+            # on real numerics.
+            "attention_impl": _resolve_attention_impl(
+                cfg.attention_impl, seq_len=cfg.max_tokens,
+                head_dim=cfg.dim // max(1, cfg.num_heads),
+            ),
             "dtype": str(cfg.dtype),
             "dim": enc.dim,
             "max_tokens": cfg.max_tokens,
