@@ -102,7 +102,13 @@ def fused_attention(
     scale: float,
     interpret: bool = False,
 ) -> jax.Array:
-    """Fused rotary+softmax attention; returns context [B, H, S, hd]."""
+    """Fused rotary+softmax attention; returns context [B, H, S, hd].
+
+    Head-major variant, kept for the measurement record and as the
+    starting point for a head-sharded (TP) port: with the XLA transposes
+    its callers need it measured a complete NO-WIN vs the xla_bf16 chain
+    (13.3 vs 13.5 ms/layer — scripts/proto_attn.py); the production path
+    is :func:`fused_attention_qkv`, which takes the Wqkv layout as-is."""
     b, h, s, hd = q.shape
     if s % 8 or hd % 8:
         raise ValueError(f"bad attention tile [{s}, {hd}]")
