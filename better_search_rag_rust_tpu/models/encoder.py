@@ -182,7 +182,9 @@ class EncoderService:
         return self.collect(self.dispatch(self.tokenize(texts)))
 
 
-def create_encoder(cfg: Optional[EncoderConfig] = None) -> EncoderService:
+def create_encoder(
+    cfg: Optional[EncoderConfig] = None, mesh=None
+) -> EncoderService:
     """Backend selection (``cfg.backend``):
 
     * ``"nomic"`` — Flax NomicBERT; loads the local HF checkpoint when
@@ -190,6 +192,10 @@ def create_encoder(cfg: Optional[EncoderConfig] = None) -> EncoderService:
     * ``"hash"``  — deterministic hermetic encoder.
     * ``"auto"``  — nomic when a checkpoint dir is configured and exists,
       else hash (artifact-gated, reference: src/llm/hf.rs:138-144).
+
+    ``mesh``: optional multi-device mesh for single-process data-parallel
+    nomic encoding (batches shard over the first axis; ``cfg.batch_size``
+    must divide by its size). Ignored by the host-side hash backend.
     """
     cfg = cfg or EncoderConfig()
     backend = cfg.backend
@@ -224,6 +230,11 @@ def create_encoder(cfg: Optional[EncoderConfig] = None) -> EncoderService:
         return svc
 
     if backend == "nomic":
+        if mesh is not None and mesh.size > 1 and cfg.batch_size % mesh.size:
+            raise ValueError(
+                f"batch_size {cfg.batch_size} does not divide over the "
+                f"{mesh.size}-device mesh"
+            )
         model_cfg = NomicBertConfig.from_encoder_config(cfg)
         params = None
         if cfg.checkpoint_dir:
@@ -235,7 +246,8 @@ def create_encoder(cfg: Optional[EncoderConfig] = None) -> EncoderService:
             except FileNotFoundError as exc:
                 host_log(f"checkpoint missing ({exc}); using random init")
         enc = NomicEncoder(
-            model_cfg, params=params, matryoshka_dim=cfg.matryoshka_dim
+            model_cfg, params=params, matryoshka_dim=cfg.matryoshka_dim,
+            mesh=mesh,
         )
         tokenizer = load_tokenizer(
             cfg.checkpoint_dir, cfg.max_tokens, cfg.vocab_size
@@ -266,6 +278,11 @@ def create_encoder(cfg: Optional[EncoderConfig] = None) -> EncoderService:
             "long_doc": cfg.long_doc,
             "matryoshka_dim": cfg.matryoshka_dim,
         }
+        if enc.mesh is not None:
+            # Mesh-DP encoding shifts embeddings at bf16-noise level vs the
+            # single-device forward (per-shard XLA compilation): record it
+            # so a device-count change between ingest and serve warns.
+            svc.numerics["dp_devices"] = int(enc.mesh.size)
         return svc
 
     raise ValueError(f"unknown encoder backend {backend!r}")

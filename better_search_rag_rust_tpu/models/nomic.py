@@ -70,6 +70,14 @@ class NomicBertConfig:
     #: work split over the TP axis, XLA inserting the all-gather at each
     #: block's matmul boundary (and the reduce-scatter back).
     sp_mesh_axes: Optional[Tuple[str, str]] = None
+    #: Mesh axis name to shard the FUSED attention kernel's batch over.
+    #: A bare ``pallas_call`` does not partition under pjit, but the kernel
+    #: is embarrassingly parallel in the batch — when set, the fused branch
+    #: wraps it in ``shard_map`` over this axis (requires the caller to
+    #: trace under ``jax.set_mesh``; forward and custom-VJP backward are
+    #: bitwise identical to the unsharded kernel per shard). Set by the
+    #: trainer on pure-DP meshes; ignored by the other attention impls.
+    dp_shard_attention: Optional[str] = None
 
     @property
     def head_dim(self) -> int:
@@ -198,10 +206,38 @@ class NomicAttention(nn.Module):
             from ..ops.topk_pallas import default_interpret
 
             c2, s2 = rotary_roll_tables(cos, sin)
-            ctx = fused_attention_qkv_diff(
-                qkv, c2, s2, mask_bias[:, 0, 0, :].astype(jnp.float32),
-                h, 1.0 / math.sqrt(hd), default_interpret(),
-            )
+            bias2 = mask_bias[:, 0, 0, :].astype(jnp.float32)
+            interp = default_interpret()
+            scale = 1.0 / math.sqrt(hd)
+
+            def attend(qkv_, c2_, s2_, bias_):
+                return fused_attention_qkv_diff(
+                    qkv_, c2_, s2_, bias_, h, scale, interp
+                )
+
+            if cfg.dp_shard_attention is not None:
+                # Batch-parallel shard_map: each device runs the kernel on
+                # its local batch shard (pallas_call cannot partition under
+                # pjit). Rotary tables replicate; fwd/bwd per shard are the
+                # single-device kernel bit-for-bit.
+                # top-level jax.shard_map: the mesh-context requirement
+                # (jax.set_mesh at every call site) already pins jax >= 0.6,
+                # so no jax.experimental fallback is needed here.
+                from jax import shard_map
+                from jax.sharding import PartitionSpec as _P
+
+                ax = cfg.dp_shard_attention
+                attend = shard_map(
+                    attend,
+                    in_specs=(_P(ax, None, None), _P(), _P(),
+                              _P(ax, None)),
+                    out_specs=_P(ax, None, None),
+                    # vma tracking rejects pallas_call outputs inside
+                    # shard_map (same waiver as ops/engine.py); parity is
+                    # covered by tests/test_train.py's DP-vs-1-device check.
+                    check_vma=False,
+                )
+            ctx = attend(qkv, c2, s2, bias2)
             return nn.Dense(d, use_bias=True, dtype=cfg.dtype,
                             name="out_proj")(ctx)
 
@@ -394,15 +430,47 @@ class NomicEncoder:
         params: Optional[Dict] = None,
         matryoshka_dim: Optional[int] = None,
         seed: int = 0,
+        mesh: Optional[jax.sharding.Mesh] = None,
     ):
+        """``mesh``: optional device mesh for single-process data-parallel
+        encoding — batches shard over the mesh's FIRST axis (every
+        fixed-size sub-batch must divide by it), params replicate, and the
+        fused attention kernel partitions via its shard_map wrap
+        (``dp_shard_attention``). None = default-device serving."""
+        self.mesh = mesh if mesh is not None and mesh.size > 1 else None
+        if self.mesh is not None and config.attention_impl in (
+            "auto", "fused",
+        ):
+            import dataclasses
+
+            config = dataclasses.replace(
+                config, dp_shard_attention=self.mesh.axis_names[0]
+            )
         self.config = config
         self.model = NomicBertModel(config)
         if params is None:
-            dummy_ids = jnp.zeros((1, config.max_tokens), dtype=jnp.int32)
-            dummy_mask = jnp.ones((1, config.max_tokens), dtype=jnp.int32)
-            params = self.model.init(
-                jax.random.PRNGKey(seed), dummy_ids, dummy_mask
-            )["params"]
+            # dummy batch divisible by the mesh (the fused kernel's
+            # shard_map splits it even during init tracing), traced under
+            # the mesh context so the axis name resolves.
+            db = self.mesh.size if self.mesh is not None else 1
+            dummy_ids = jnp.zeros((db, config.max_tokens), dtype=jnp.int32)
+            dummy_mask = jnp.ones((db, config.max_tokens), dtype=jnp.int32)
+            if self.mesh is not None:
+                with jax.set_mesh(self.mesh):
+                    params = self.model.init(
+                        jax.random.PRNGKey(seed), dummy_ids, dummy_mask
+                    )["params"]
+            else:
+                params = self.model.init(
+                    jax.random.PRNGKey(seed), dummy_ids, dummy_mask
+                )["params"]
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            params = jax.device_put(params, NamedSharding(self.mesh, P()))
+            self._batch_sharding = NamedSharding(
+                self.mesh, P(self.mesh.axis_names[0], None)
+            )
         self.params = params
         self.matryoshka_dim = matryoshka_dim
 
@@ -425,6 +493,21 @@ class NomicEncoder:
         """``[B, S]`` int32 ids+mask -> ``[B, dim]`` f32 embeddings, left on
         device (the serving hot path: dispatches pipeline, and the search
         engine can consume the array without a host round-trip)."""
+        if self.mesh is not None:
+            # DP over the mesh: shard the HOST batch straight onto the mesh
+            # (one upload per shard — jnp.asarray first would commit the
+            # full array to device 0 and re-distribute), and trace under
+            # the ambient mesh so the fused kernel's shard_map resolves
+            # its axis name.
+            ids = jax.device_put(
+                np.asarray(input_ids, dtype=np.int32), self._batch_sharding
+            )
+            mask = jax.device_put(
+                np.asarray(attention_mask, dtype=np.int32),
+                self._batch_sharding,
+            )
+            with jax.set_mesh(self.mesh):
+                return self._fwd(self.params, ids, mask)
         return self._fwd(
             self.params,
             jnp.asarray(input_ids, dtype=jnp.int32),

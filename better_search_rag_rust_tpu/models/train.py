@@ -148,12 +148,29 @@ class ContrastiveTrainer:
                 config, sp_mesh_axes=(DATA_AXIS, MODEL_AXIS)
             )
         if config.attention_impl in ("auto", "fused") and mesh.size > 1:
-            # The fused kernel differentiates (custom VJP with a
-            # flash-style recompute backward, ops/attention_pallas.py),
-            # but a pallas_call does not partition under pjit — so only
-            # 1-device meshes keep it; multi-device training takes the
-            # XLA attention (same math, bf16 logits).
-            config = dataclasses.replace(config, attention_impl="xla_bf16")
+            if (
+                mesh.shape.get(MODEL_AXIS, 1) == 1
+                and config.sp_mesh_axes is None
+                and mesh.shape.get(DATA_AXIS, 1) > 1
+            ):
+                # Pure data parallelism: the fused kernel (custom VJP with
+                # a flash-style recompute backward) is embarrassingly
+                # parallel in the batch, so the attention module wraps it
+                # in shard_map over 'data' — a bare pallas_call does not
+                # partition under pjit. Per shard it is the single-device
+                # kernel bit-for-bit (tests/test_train.py).
+                config = dataclasses.replace(
+                    config,
+                    attention_impl="fused",
+                    dp_shard_attention=DATA_AXIS,
+                )
+            else:
+                # TP shards heads across 'model' while the fused kernel
+                # consumes the full Wqkv layout — TP/SP meshes take the
+                # XLA attention (same math, bf16 logits).
+                config = dataclasses.replace(
+                    config, attention_impl="xla_bf16"
+                )
         self.config = config
         self.mesh = mesh
         self.model = NomicBertModel(config)

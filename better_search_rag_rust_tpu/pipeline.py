@@ -26,6 +26,7 @@ replica is its scaling bottleneck (OOM at N=32, README.md:164-166).
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass, field
 from pathlib import Path
 from typing import Dict, List, Optional, Sequence, Tuple
@@ -123,9 +124,44 @@ class Pipeline:
     def encoder(self) -> EncoderService:
         if self._encoder is None:
             timer = self.bench.start("llm_service_loading")
-            self._encoder = create_encoder(self.config.encoder)
+            self._encoder = create_encoder(
+                self.config.encoder, mesh=self._local_encode_mesh()
+            )
             self.bench.record(timer.stop())  # reference: src/main.rs:53-55
         return self._encoder
+
+    def _local_encode_mesh(self):
+        """Mesh over THIS PROCESS's devices for data-parallel encoding.
+
+        Multi-host ingest is one process per host (SPMD block DP over
+        files); on hosts that own several chips the nomic forward would
+        otherwise run on one device only. Batches shard over a local mesh
+        when the fixed batch size divides it (numerics metadata records
+        ``dp_devices``). The host-side hash backend never encodes on
+        device, so it gets no mesh (and no fallback warning)."""
+        enc_cfg = self.config.encoder
+        if enc_cfg.backend == "hash" or (
+            enc_cfg.backend == "auto"
+            and not (
+                enc_cfg.checkpoint_dir
+                and os.path.isdir(enc_cfg.checkpoint_dir)
+            )
+        ):
+            return None
+        import jax
+
+        local = jax.local_devices()
+        if len(local) <= 1:
+            return None
+        if self.config.encoder.batch_size % len(local):
+            host_log(
+                f"encode batch_size {self.config.encoder.batch_size} does "
+                f"not divide {len(local)} local devices; encoding on one"
+            )
+            return None
+        return create_mesh(
+            (len(local),), ("data",), devices=local
+        )
 
     # -- phase 1: ingest + embed ------------------------------------------------
 

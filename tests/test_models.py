@@ -180,6 +180,35 @@ def test_nomic_deterministic(tiny_nomic):
     np.testing.assert_array_equal(a, b)
 
 
+def test_nomic_mesh_dp_encode_matches_single_device(tiny_nomic):
+    """Mesh-DP encoding (batch sharded over 8 devices, fused attention via
+    shard_map) agrees with the single-device encoder to bf16 noise, and the
+    service contract composes through create_encoder(mesh=...)."""
+    from better_search_rag_rust_tpu.config import EncoderConfig
+    from better_search_rag_rust_tpu.models.encoder import create_encoder
+    from better_search_rag_rust_tpu.parallel import create_mesh
+
+    mesh = create_mesh(shape=(8,), axis_names=("data",))
+    enc_dp = NomicEncoder(tiny_nomic.config, params=tiny_nomic.params,
+                          mesh=mesh)
+    assert enc_dp.config.dp_shard_attention == "data"
+
+    rng = np.random.default_rng(7)
+    ids = rng.integers(1, 512, size=(16, 32)).astype(np.int32)
+    mask = np.ones((16, 32), dtype=np.int32)
+    ref = tiny_nomic.encode_tokens(ids, mask)
+    out = enc_dp.encode_tokens(ids, mask)
+    assert out.shape == ref.shape
+    cos = (out * ref).sum(axis=1)
+    assert (cos > 0.999).all(), f"mesh-DP embeddings drifted: {cos.min()}"
+
+    # batch_size must divide the mesh
+    with pytest.raises(ValueError, match="does not divide"):
+        create_encoder(
+            EncoderConfig(backend="nomic", batch_size=12), mesh=mesh
+        )
+
+
 def test_nomic_matryoshka_truncation():
     cfg = NomicBertConfig(
         vocab_size=128, hidden_size=64, num_layers=1, num_heads=4,

@@ -460,3 +460,31 @@ def test_planner_profiles_produce_sane_tiles(tmp_path):
     # longest-prefix matching: v5 lite != v5p
     assert resolve_profile("TPU v5 lite").hbm_gb == 16
     assert resolve_profile("TPU v5p").hbm_gb == 95
+
+
+def test_pipeline_local_encode_mesh(corpus_dir, tmp_path):
+    """Multi-device hosts encode data-parallel over a local mesh: the nomic
+    backend shards batches when batch_size divides the local device count
+    (numerics records dp_devices); indivisible batch sizes fall back to one
+    device; the hash backend ignores the mesh."""
+    import dataclasses
+
+    cfg = _config(corpus_dir, tmp_path)
+    nomic_enc = dataclasses.replace(
+        cfg.encoder, backend="nomic", dim=64, num_heads=4, max_tokens=32,
+        batch_size=8,
+    )
+    pipe = Pipeline(dataclasses.replace(cfg, encoder=nomic_enc))
+    assert pipe._local_encode_mesh() is not None  # 8 emulated devices
+    assert pipe.encoder.numerics.get("dp_devices") == 8
+
+    odd = dataclasses.replace(nomic_enc, batch_size=12)
+    pipe_odd = Pipeline(dataclasses.replace(cfg, encoder=odd))
+    assert pipe_odd._local_encode_mesh() is None
+    assert "dp_devices" not in pipe_odd.encoder.numerics
+
+    # hash backend: mesh offered but unused, contract unchanged
+    hash_pipe = Pipeline(cfg)
+    emb = hash_pipe.encoder.get_embeddings(["class A {}", "class B {}"])
+    assert emb.shape == (2, 96)
+    assert "dp_devices" not in hash_pipe.encoder.numerics

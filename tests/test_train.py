@@ -90,6 +90,98 @@ def test_train_step_decreases_loss(tiny_cfg, dp_tp_mesh):
     assert np.isfinite(losses).all()
 
 
+def test_dp_shard_attention_matches_unsharded(tiny_cfg):
+    """The shard_map-wrapped fused attention op is the single-device kernel
+    bit-for-bit per batch shard (forward AND custom-VJP gradient); the full
+    model forward agrees to bf16 ulp (the surrounding XLA Dense layers
+    compile per-shard shapes with different fma order on CPU)."""
+    import dataclasses
+    import math
+
+    import jax.numpy as jnp
+    from jax.sharding import PartitionSpec as P
+
+    from jax import shard_map
+
+    from better_search_rag_rust_tpu.models.nomic import (
+        NomicBertModel, rotary_tables)
+    from better_search_rag_rust_tpu.ops.attention_pallas import (
+        fused_attention_qkv_diff, rotary_roll_tables)
+
+    dp_mesh = create_mesh(shape=(8,), axis_names=("data",))
+    rng = np.random.default_rng(1)
+
+    # --- op level: bitwise, fwd + grad ------------------------------------
+    B, S, H, HD = 16, 8, 2, 16
+    qkv = jnp.asarray(rng.standard_normal((B, S, 3 * H * HD)), jnp.float32)
+    bias = jnp.zeros((B, S), jnp.float32)
+    cos, sin = rotary_tables(S, HD, 1000.0)
+    full = np.concatenate([cos, cos], -1), np.concatenate([sin, sin], -1)
+    c2, s2 = rotary_roll_tables(jnp.asarray(full[0]), jnp.asarray(full[1]))
+    scale = 1.0 / math.sqrt(HD)
+
+    def attend(qkv_, bias_):
+        return fused_attention_qkv_diff(qkv_, c2, s2, bias_, H, scale, True)
+
+    ref = attend(qkv, bias)
+    g_ref = jax.grad(lambda q: jnp.sum(attend(q, bias) ** 2))(qkv)
+
+    mapped = shard_map(
+        attend, mesh=dp_mesh,
+        in_specs=(P("data", None, None), P("data", None)),
+        out_specs=P("data", None, None), check_vma=False,
+    )
+    out = jax.jit(mapped)(qkv, bias)
+    g_dp = jax.jit(jax.grad(lambda q: jnp.sum(mapped(q, bias) ** 2)))(qkv)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
+    np.testing.assert_array_equal(np.asarray(g_dp), np.asarray(g_ref))
+
+    # --- model level: bf16-ulp agreement -----------------------------------
+    base = dataclasses.replace(tiny_cfg, attention_impl="fused")
+    sharded_cfg = dataclasses.replace(base, dp_shard_attention="data")
+    ids = jnp.asarray(rng.integers(1, 128, size=(16, 8)), jnp.int32)
+    mask = jnp.ones_like(ids)
+
+    model_1 = NomicBertModel(base)
+    params = model_1.init(jax.random.PRNGKey(0), ids, mask)["params"]
+    ref_m = np.asarray(model_1.apply({"params": params}, ids, mask),
+                       np.float32)
+
+    model_dp = NomicBertModel(sharded_cfg)
+    with jax.set_mesh(dp_mesh):
+        out_m = np.asarray(
+            jax.jit(lambda p: model_dp.apply({"params": p}, ids, mask))(
+                params
+            ),
+            np.float32,
+        )
+    np.testing.assert_allclose(out_m, ref_m, rtol=0.02, atol=0.05)
+
+
+def test_dp_mesh_trainer_keeps_fused_attention(tiny_cfg):
+    """A pure-DP multi-device mesh rides the fused Pallas kernel via
+    shard_map instead of falling back to XLA attention; TP meshes still
+    fall back."""
+    dp_mesh = create_mesh(shape=(8, 1), axis_names=("data", "model"))
+    trainer = ContrastiveTrainer(tiny_cfg, dp_mesh, learning_rate=1e-3)
+    assert trainer.config.attention_impl == "fused"
+    assert trainer.config.dp_shard_attention == "data"
+
+    rng = np.random.default_rng(0)
+    ids = rng.integers(1, 128, size=(8, 8)).astype(np.int32)
+    mask = np.ones((8, 8), np.int32)
+    losses = [trainer.train_step(ids, mask, ids, mask) for _ in range(4)]
+    assert losses[-1] < losses[0]
+    assert np.isfinite(losses).all()
+
+    tp_mesh = create_mesh(shape=(4, 2), axis_names=("data", "model"))
+    tp_trainer = ContrastiveTrainer(
+        tiny_cfg, tp_mesh, sequence_parallel=False
+    )
+    assert tp_trainer.config.attention_impl == "xla_bf16"
+    assert tp_trainer.config.dp_shard_attention is None
+
+
 def test_graft_entry_compiles():
     import sys
 
