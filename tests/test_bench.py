@@ -89,3 +89,26 @@ def test_finetune_suite_smoke():
     assert out["value"] > 0
     assert np.isfinite(out["final_loss"])
     assert out["devices"] >= 1
+
+
+def test_pipeline_suite_smoke():
+    """The pipeline suite (driver-recorded ingest throughput) runs end to
+    end on the hash backend with a tiny synthetic corpus."""
+    from better_search_rag_rust_tpu.bench.suite import run_pipeline_suite
+
+    out = run_pipeline_suite(files=6, dim=32, backend="hash", batch=4)
+    assert out["metric"] == "ingest_hash_files_per_sec"
+    assert out["value"] > 0
+    assert out["files"] == 6
+    assert out["startup_s"] >= 0
+
+
+def test_encode_suite_smoke():
+    """The encode suite (driver-recorded forward throughput) runs on the
+    full-architecture model at a tiny batch/sequence."""
+    from better_search_rag_rust_tpu.bench.suite import run_encode_suite
+
+    out = run_encode_suite(batch=4, iters=1, max_tokens=32)
+    assert out["metric"] == "encode_files_per_sec"
+    assert out["value"] > 0
+    assert out["batch"] == 4
