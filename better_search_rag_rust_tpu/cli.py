@@ -11,6 +11,8 @@ Subcommands:
 * ``run``     — the full pipeline (≙ ``mpiexec -n N better-search-rag-rust``)
 * ``ingest``  — embed + persist shards + merge only
 * ``search``  — serve search from the persisted store (≙ ``SKIP_PROCESS=true``)
+* ``serve``   — persistent JSONL request/response server over the pipelined
+  streaming search path (one request per stdin line; beyond-parity)
 * ``bench``   — the performance benchmark suite (see :mod:`.bench.suite`)
 """
 
@@ -214,6 +216,49 @@ def _finetune(args) -> int:
     return 0
 
 
+def serve_loop(pipeline, in_stream, out_stream, k=None, depth: int = 1) -> int:
+    """Drive :meth:`Pipeline.serve` over line-delimited JSON streams.
+
+    One request object per input line, one response object per output line,
+    flushed immediately (the loop is usable behind a pipe or socket).
+    Malformed JSON lines produce an in-order ``{"error": ...}`` response and
+    the server keeps going. Blank lines are skipped.
+    """
+
+    def _requests():
+        for line in in_stream:
+            line = line.strip()
+            if not line:
+                continue
+            try:
+                yield json.loads(line)
+            except json.JSONDecodeError as exc:
+                yield {"_malformed": str(exc)}
+
+    for resp in pipeline.serve(_requests(), k=k, depth=depth):
+        out_stream.write(json.dumps(resp) + "\n")
+        out_stream.flush()
+    return 0
+
+
+def _serve(args) -> int:
+    from .pipeline import Pipeline
+
+    cfg = _config_from_args(args, skip_process=True)
+    pipeline = Pipeline(cfg)
+    engine = pipeline.engine()  # build the device store before accepting
+    print(
+        f"serving {engine.store.num_rows} rows "
+        f"(top_k={args.top_k}, kernel={engine.kernel_name()}, "
+        f"depth={args.serve_depth}); one JSON request per line on stdin",
+        file=sys.stderr,
+        flush=True,
+    )
+    return serve_loop(
+        pipeline, sys.stdin, sys.stdout, k=args.top_k, depth=args.serve_depth
+    )
+
+
 def main(argv: Optional[Sequence[str]] = None) -> int:
     parser = argparse.ArgumentParser(
         prog="bsr-tpu",
@@ -232,6 +277,17 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
         _add_common(sp)
         if name == "evaluate":
             sp.add_argument("--num-queries", type=int, default=64)
+
+    sv = sub.add_parser(
+        "serve",
+        help="persistent JSONL search server: one request per stdin line, "
+             "one response per stdout line (pipelined on-device)",
+    )
+    _add_common(sv)
+    sv.add_argument("--serve-depth", type=int, default=1,
+                    help="requests kept in flight on the device before "
+                         "results are pulled (1 = synchronous; 2-3 hides "
+                         "device compute on directly-attached hosts)")
 
     ft = sub.add_parser(
         "finetune",
@@ -278,6 +334,9 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
 
         if args.command == "finetune":
             return _finetune(args)
+
+        if args.command == "serve":
+            return _serve(args)
 
         from .pipeline import Pipeline
 

@@ -1,0 +1,148 @@
+"""Persistent JSONL serving: `Pipeline.serve` + the `bsr-tpu serve` loop.
+
+The reference's only serving story is re-running the binary with
+SKIP_PROCESS=true for one hardcoded query index (src/main.rs:42-45,110-121);
+the accept-loop here is beyond-parity capability, so these tests pin its
+contract: one in-order response per request, errors never kill the stream,
+and retrieval semantics identical to Pipeline.query.
+"""
+
+import io
+import json
+
+import numpy as np
+import pytest
+
+from better_search_rag_rust_tpu.cli import serve_loop
+from better_search_rag_rust_tpu.config import (
+    CorpusConfig,
+    EncoderConfig,
+    PipelineConfig,
+    SearchConfig,
+    StoreConfig,
+)
+from better_search_rag_rust_tpu.pipeline import Pipeline
+
+
+@pytest.fixture(scope="module")
+def served(tmp_path_factory):
+    """A built store + a serving Pipeline over it (hash encoder, 12 files)."""
+    tmp_path = tmp_path_factory.mktemp("serve")
+    root = tmp_path / "repo"
+    root.mkdir()
+    for i in range(12):
+        (root / f"File{i}.java").write_text(
+            f"public class File{i} {{ void method{i}() {{}} }}"
+        )
+    cfg = PipelineConfig(
+        corpus=CorpusConfig(root=str(root), extensions=("java",),
+                            files_per_batch=4),
+        encoder=EncoderConfig(backend="hash", dim=96, vocab_size=4096,
+                              max_tokens=64, batch_size=4),
+        store=StoreConfig(dir=str(tmp_path / "vstore")),
+        search=SearchConfig(top_k=5, chunk_rows=256),
+    )
+    build = Pipeline(cfg)
+    build.ingest_shard()
+    build.merge()
+    serve_cfg = PipelineConfig(
+        corpus=cfg.corpus, encoder=cfg.encoder, store=cfg.store,
+        search=cfg.search, skip_process=True,
+    )
+    return Pipeline(serve_cfg)
+
+
+def test_serve_matches_query(served):
+    """A served text request returns exactly Pipeline.query's ranking."""
+    text = "public class File3 void method3"
+    resp = next(iter(served.serve([{"id": 7, "query": text}])))
+    assert resp["id"] == 7
+    expected = served.query([text])[0]
+    got = [(r["path"], r["row"], r["distance"]) for r in resp["results"][0]]
+    assert [(p, i) for p, i, _ in expected] == [(p, i) for p, i, _ in got]
+    np.testing.assert_allclose(
+        [d for _, _, d in expected], [d for _, _, d in got], rtol=1e-6
+    )
+
+
+def test_serve_batch_vectors_and_k_trim(served):
+    """queries/vector/vectors request kinds; per-request k trims serve-k."""
+    store_rows = served.engine().store.effective_matrix()[[0, 4]]
+    reqs = [
+        {"id": "batch", "queries": ["method one", "method two"], "k": 2},
+        {"id": "vec", "vector": store_rows[0].tolist(), "k": 1},
+        {"id": "vecs", "vectors": store_rows.tolist(), "k": 3},
+    ]
+    out = list(served.serve(iter(reqs)))
+    assert [r["id"] for r in out] == ["batch", "vec", "vecs"]
+    assert [len(q) for q in out[0]["results"]] == [2, 2]
+    # a stored row retrieves itself at rank 1 with ~zero distance
+    assert out[1]["results"][0][0]["row"] == 0
+    assert out[1]["results"][0][0]["distance"] < 1e-3
+    assert [q[0]["row"] for q in out[2]["results"]] == [0, 4]
+    assert all(len(q) == 3 for q in out[2]["results"])
+
+
+def test_serve_errors_in_order_never_kill_stream(served):
+    """Bad requests produce in-order error responses; serving continues."""
+    reqs = [
+        {"id": 0, "query": "fine"},
+        {"id": 1},  # no query kind at all
+        {"id": 2, "query": "x", "vector": [1.0]},  # two kinds
+        {"id": 3, "k": 99, "query": "x"},  # k beyond serve top_k
+        {"id": 4, "k": 0, "query": "x"},  # non-positive k
+        {"id": 5, "vector": [[1.0], [2.0]], "vectors": None, "queries": None},
+        {"id": 6, "queries": ["ok again"]},
+        "not even an object",
+        {"id": 8, "vectors": [[1.0, 2.0]]},  # wrong dim
+        {"id": 9, "query": "last one fine"},
+    ]
+    out = list(served.serve(iter(reqs), depth=2))
+    assert len(out) == len(reqs)
+    assert [r.get("id") for r in out] == [0, 1, 2, 3, 4, 5, 6, None, 8, 9]
+    ok = {0, 6, 9}
+    for i, resp in enumerate(out):
+        if i in ok:
+            assert "results" in resp, resp
+        else:
+            assert "error" in resp, resp
+    assert "exceeds the serve-wide top_k" in out[3]["error"]
+    assert "query dim" in out[8]["error"]
+
+
+def test_serve_depths_agree(served):
+    """Pipelining depth changes scheduling, never results."""
+    reqs = [{"id": i, "query": f"method {i}"} for i in range(6)]
+    base = list(served.serve(iter(reqs), depth=1))
+    deep = list(served.serve(iter(reqs), depth=3))
+    assert base == deep
+
+
+def test_serve_loop_jsonl_round_trip(served):
+    """The CLI loop: JSONL in -> JSONL out, malformed lines answered."""
+    lines = "\n".join(
+        [
+            json.dumps({"id": 1, "query": "public class File0"}),
+            "",  # blank line skipped
+            "{this is not json",
+            json.dumps({"id": 3, "queries": ["a method", "another"], "k": 1}),
+        ]
+    )
+    out = io.StringIO()
+    rc = serve_loop(served, io.StringIO(lines), out, k=5, depth=2)
+    assert rc == 0
+    responses = [json.loads(l) for l in out.getvalue().splitlines()]
+    assert len(responses) == 3
+    assert responses[0]["id"] == 1 and "results" in responses[0]
+    assert "malformed JSON" in responses[1]["error"]
+    assert responses[2]["id"] == 3
+    assert [len(q) for q in responses[2]["results"]] == [1, 1]
+
+
+def test_serve_cli_wiring():
+    """`bsr-tpu serve --help` parses (subcommand registered with flags)."""
+    from better_search_rag_rust_tpu.cli import main
+
+    with pytest.raises(SystemExit) as exc:
+        main(["serve", "--help"])
+    assert exc.value.code == 0
