@@ -241,19 +241,67 @@ def serve_loop(pipeline, in_stream, out_stream, k=None, depth: int = 1) -> int:
     return 0
 
 
+def make_tcp_server(pipeline, host: str, port: int, k=None, depth: int = 1):
+    """A threading JSONL-over-TCP server: each connection speaks the same
+    one-request-per-line protocol as the stdio loop. Connections are handled
+    concurrently (JAX dispatch is thread-safe; concurrent streams simply
+    interleave on the device queue). Returned unstarted — call
+    ``serve_forever()``; the bound address is ``server.server_address``
+    (useful with port 0)."""
+    import io
+    import socketserver
+
+    class Handler(socketserver.StreamRequestHandler):
+        def handle(self):
+            rin = io.TextIOWrapper(self.rfile, encoding="utf-8")
+            wout = io.TextIOWrapper(
+                self.wfile, encoding="utf-8", write_through=True
+            )
+            try:
+                serve_loop(pipeline, rin, wout, k=k, depth=depth)
+            except (BrokenPipeError, ConnectionResetError):
+                pass  # client went away mid-stream; nothing to answer
+
+    class Server(socketserver.ThreadingTCPServer):
+        allow_reuse_address = True
+        daemon_threads = True
+
+    return Server((host, port), Handler)
+
+
 def _serve(args) -> int:
     from .pipeline import Pipeline
 
     cfg = _config_from_args(args, skip_process=True)
     pipeline = Pipeline(cfg)
     engine = pipeline.engine()  # build the device store before accepting
+    where = (
+        f"one JSON request per line on {args.host}:{args.port}"
+        if args.port is not None
+        else "one JSON request per line on stdin"
+    )
     print(
         f"serving {engine.store.num_rows} rows "
         f"(top_k={args.top_k}, kernel={engine.kernel_name()}, "
-        f"depth={args.serve_depth}); one JSON request per line on stdin",
+        f"depth={args.serve_depth}); {where}",
         file=sys.stderr,
         flush=True,
     )
+    if args.port is not None:
+        with make_tcp_server(
+            pipeline, args.host, args.port, k=args.top_k, depth=args.serve_depth
+        ) as server:
+            print(
+                f"listening on {server.server_address[0]}:"
+                f"{server.server_address[1]}",
+                file=sys.stderr,
+                flush=True,
+            )
+            try:
+                server.serve_forever()
+            except KeyboardInterrupt:
+                pass
+        return 0
     return serve_loop(
         pipeline, sys.stdin, sys.stdout, k=args.top_k, depth=args.serve_depth
     )
@@ -288,6 +336,12 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
                     help="requests kept in flight on the device before "
                          "results are pulled (1 = synchronous; 2-3 hides "
                          "device compute on directly-attached hosts)")
+    sv.add_argument("--port", type=int, default=None,
+                    help="listen for JSONL connections on this TCP port "
+                         "instead of stdin/stdout (0 = ephemeral; each "
+                         "connection is an independent pipelined stream)")
+    sv.add_argument("--host", default="127.0.0.1",
+                    help="bind address for --port")
 
     ft = sub.add_parser(
         "finetune",

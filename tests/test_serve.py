@@ -146,3 +146,41 @@ def test_serve_cli_wiring():
     with pytest.raises(SystemExit) as exc:
         main(["serve", "--help"])
     assert exc.value.code == 0
+
+
+def test_serve_tcp_round_trip(served):
+    """JSONL over TCP: two concurrent connections, in-order responses each."""
+    import socket
+    import threading
+
+    from better_search_rag_rust_tpu.cli import make_tcp_server
+
+    server = make_tcp_server(served, "127.0.0.1", 0, k=5, depth=2)
+    host, port = server.server_address
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    try:
+        def client(reqs):
+            with socket.create_connection((host, port), timeout=30) as s:
+                f = s.makefile("rw", encoding="utf-8")
+                for r in reqs:
+                    f.write(json.dumps(r) + "\n")
+                f.flush()
+                s.shutdown(socket.SHUT_WR)
+                return [json.loads(l) for l in f]
+
+        reqs_a = [{"id": i, "query": f"method {i}"} for i in range(3)]
+        reqs_b = [{"id": "bad"}, {"id": "ok", "queries": ["File1"], "k": 1}]
+        out_a, out_b = [None], [None]
+        ta = threading.Thread(target=lambda: out_a.__setitem__(0, client(reqs_a)))
+        tb = threading.Thread(target=lambda: out_b.__setitem__(0, client(reqs_b)))
+        ta.start(); tb.start(); ta.join(60); tb.join(60)
+        assert [r["id"] for r in out_a[0]] == [0, 1, 2]
+        assert all("results" in r for r in out_a[0])
+        assert "error" in out_b[0][0] and "results" in out_b[0][1]
+        # TCP responses match the in-process serve path exactly
+        direct = list(served.serve(iter(reqs_a)))
+        assert out_a[0] == direct
+    finally:
+        server.shutdown()
+        server.server_close()
