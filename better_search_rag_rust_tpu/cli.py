@@ -223,17 +223,54 @@ def serve_loop(pipeline, in_stream, out_stream, k=None, depth: int = 1) -> int:
     flushed immediately (the loop is usable behind a pipe or socket).
     Malformed JSON lines produce an in-order ``{"error": ...}`` response and
     the server keeps going. Blank lines are skipped.
+
+    Input is read by a background thread so the loop can tell "the client is
+    waiting for answers" apart from "the next request is already here": when
+    no line is ready, a flush token makes :meth:`Pipeline.serve` emit every
+    in-flight response before the loop blocks on input again. Without that, a
+    synchronous request/response client would deadlock at any depth — the
+    server would sit in readline() while the client waits for its answer.
     """
+    import queue
+    import threading
+
+    from .pipeline import MalformedRequest
+
+    q: "queue.Queue" = queue.Queue()
+    _EOF = object()
+
+    def _reader():
+        try:
+            for line in in_stream:
+                q.put(line)
+        except (UnicodeDecodeError, OSError) as exc:
+            # Undecodable bytes / a vanished stream end the connection after
+            # the lines already read; queued requests still get answers.
+            q.put(MalformedRequest(f"unreadable input stream: {exc}"))
+        finally:
+            q.put(_EOF)
+
+    threading.Thread(target=_reader, daemon=True).start()
 
     def _requests():
-        for line in in_stream:
+        while True:
+            try:
+                line = q.get(timeout=0.002)
+            except queue.Empty:
+                yield None  # flush: answer everything in flight, THEN block
+                line = q.get()
+            if line is _EOF:
+                return
+            if isinstance(line, MalformedRequest):
+                yield line
+                continue
             line = line.strip()
             if not line:
                 continue
             try:
                 yield json.loads(line)
             except json.JSONDecodeError as exc:
-                yield {"_malformed": str(exc)}
+                yield MalformedRequest(str(exc))
 
     for resp in pipeline.serve(_requests(), k=k, depth=depth):
         out_stream.write(json.dumps(resp) + "\n")
@@ -253,7 +290,10 @@ def make_tcp_server(pipeline, host: str, port: int, k=None, depth: int = 1):
 
     class Handler(socketserver.StreamRequestHandler):
         def handle(self):
-            rin = io.TextIOWrapper(self.rfile, encoding="utf-8")
+            # errors="replace": undecodable bytes become U+FFFD, the JSON
+            # parse then fails, and the CLIENT gets a malformed-JSON error
+            # response for that line instead of a dead connection.
+            rin = io.TextIOWrapper(self.rfile, encoding="utf-8", errors="replace")
             wout = io.TextIOWrapper(
                 self.wfile, encoding="utf-8", write_through=True
             )
@@ -287,6 +327,10 @@ def _serve(args) -> int:
         file=sys.stderr,
         flush=True,
     )
+    try:  # tolerate binary garbage on stdin the same way the TCP path does
+        sys.stdin.reconfigure(errors="replace")
+    except (AttributeError, ValueError):  # pragma: no cover — exotic stdin
+        pass
     if args.port is not None:
         with make_tcp_server(
             pipeline, args.host, args.port, k=args.top_k, depth=args.serve_depth

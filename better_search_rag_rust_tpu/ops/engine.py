@@ -140,6 +140,23 @@ class SearchEngine:
         """
         return self._collect(self._pack(self._dispatch(queries, self._resolve_k(k))))
 
+    def search_async(self, queries: np.ndarray, k: Optional[int] = None):
+        """Dispatch a search WITHOUT waiting: launches the compiled program
+        and starts the device->host copy of the packed result buffer
+        asynchronously, so by :meth:`collect` time the bytes are already in
+        flight. Returns an opaque handle for :meth:`collect`. This is the
+        building block under :meth:`search_stream` and the serve loop's
+        request pipelining."""
+        buf = self._pack(self._dispatch(queries, self._resolve_k(k)))
+        for arr in (buf,) if isinstance(buf, jax.Array) else buf:
+            arr.copy_to_host_async()
+        return buf
+
+    def collect(self, handle) -> Tuple[np.ndarray, np.ndarray]:
+        """Wait for a :meth:`search_async` handle and return the host-facing
+        ``(indices [Q, k'], distances [Q, k'])`` contract of :meth:`search`."""
+        return self._collect(handle)
+
     def search_stream(self, batches, k: Optional[int] = None, depth: int = 1):
         """Pipelined streaming search: yields ``(indices, distances)`` per
         query batch, keeping up to ``depth`` batches in flight on the device
@@ -165,14 +182,11 @@ class SearchEngine:
         k_eff = self._resolve_k(k)
         pending = deque()
         for q in batches:
-            buf = self._pack(self._dispatch(q, k_eff))
-            for arr in (buf,) if isinstance(buf, jax.Array) else buf:
-                arr.copy_to_host_async()
-            pending.append(buf)
+            pending.append(self.search_async(q, k_eff))
             if len(pending) > depth:
-                yield self._collect(pending.popleft())
+                yield self.collect(pending.popleft())
         while pending:
-            yield self._collect(pending.popleft())
+            yield self.collect(pending.popleft())
 
     def prepare_device_queries(self, queries: np.ndarray) -> jax.Array:
         """Host ``[Q, D]`` queries -> normalized f32 device array padded to

@@ -96,6 +96,27 @@ class PipelineResult:
     ingest: Optional[IngestStats] = None
 
 
+class MalformedRequest:
+    """Out-of-band wrapper the serve reader hands to :meth:`Pipeline.serve`
+    for an input line that was not valid JSON. A wrapper type (not a magic
+    dict key) so no well-formed client request can collide with it."""
+
+    def __init__(self, error: str):
+        self.error = error
+
+
+#: Serve pads client batches up to these fixed shapes so a long-lived server
+#: compiles O(log max_batch) XLA programs, not one per distinct client batch
+#: size (each jit is seconds; the compiled cache lives forever).
+def _serve_batch_shape(nq: int) -> int:
+    if nq <= 1024:
+        return max(1, 1 << (nq - 1).bit_length())
+    return nq + (-nq) % 1024
+
+
+_UNSET = object()
+
+
 class Pipeline:
     """The full-capability driver (reference: src/main.rs:25-189)."""
 
@@ -110,6 +131,8 @@ class Pipeline:
         self._encoder = encoder
         self._mesh = mesh
         self._engine: Optional[SearchEngine] = None
+        self._manifest_cache = _UNSET
+        self._drift_warned: set = set()
 
     # -- lazy pieces -----------------------------------------------------------
 
@@ -550,7 +573,11 @@ class Pipeline:
         """Warn when the current encoder's numerics differ from what the
         store's ``encoder.json`` recorded at ingest (e.g. an ``auto``
         attention default change): embeddings drift at bf16-noise level
-        across implementations — not wrong, but never silent."""
+        across implementations — not wrong, but never silent. Warns once per
+        call site per Pipeline (serve runs once per TCP connection)."""
+        if where in self._drift_warned:
+            return
+        self._drift_warned.add(where)
         from .store.vectorstore import load_encoder_meta
 
         recorded = load_encoder_meta(self.config.store.dir)
@@ -575,10 +602,15 @@ class Pipeline:
 
         ``requests`` is any iterator of request dicts (the ``bsr-tpu serve``
         JSONL protocol); yields exactly one response dict per request, in
-        request order. Searches ride :meth:`SearchEngine.search_stream`, so
-        with ``depth > 1`` up to ``depth`` requests stay in flight on the
-        device while earlier results transfer back — the measured serving
-        path (13.4k q/s through a relayed chip vs 6.8k serial).
+        request order. Up to ``depth`` searches stay in flight on the device
+        while earlier results transfer back (async dispatch + async
+        device->host copies — the measured serving path, 13.4k q/s through a
+        relayed chip vs 6.8k serial). A ``None`` item is a FLUSH token, not a
+        request: every in-flight response is emitted before the next item is
+        consumed. The CLI reader yields one whenever its input has no line
+        ready, so a synchronous request/response client always gets its
+        answer without having to send more traffic (without flush tokens, a
+        generator cannot overlap "wait for input" with "deliver output").
 
         Request protocol — exactly one of:
 
@@ -591,8 +623,15 @@ class Pipeline:
         client-side; must be <= the serve-wide ``k`` the engine was compiled
         for). Responses: ``{"id", "results": [[{path, row, distance}, ...]
         per query]}`` or ``{"id", "error": "..."}``. A bad request never
-        kills the stream — it produces an error response in order and
-        serving continues.
+        kills the stream — it produces an in-order error response (emitted
+        immediately when nothing is in flight) and serving continues.
+
+        Client-controlled batch sizes are padded up to a small set of fixed
+        shapes (powers of two to 1024, then multiples of 1024) before
+        dispatch, so a long-lived server compiles O(log max_batch) programs
+        instead of one per distinct size (CLAUDE.md invariant: fixed shapes
+        everywhere under jit); pad rows replicate the last query and are
+        trimmed from the response.
 
         The reference's only serving story is re-running the binary with
         ``SKIP_PROCESS=true`` for a single hardcoded query index
@@ -602,23 +641,24 @@ class Pipeline:
         """
         from collections import deque
 
-        from .store.vectorstore import load_manifest
-
+        if depth < 1:
+            raise ValueError(f"depth must be >= 1, got {depth}")
         k_serve = self.config.search.top_k if k is None else k
         self._warn_encoder_drift("serve")
         engine = self.engine()
-        manifest = load_manifest(self.config.store.dir)
+        manifest = self._serve_manifest()
         meta: deque = deque()  # ("error", resp) | ("ok", id, k_req, nq)
+        bufs: deque = deque()  # async search handles, aligned with "ok" metas
 
         def _parse(req):
             """-> (embeddings [Q, dim] f32, req_id, k_req); raises ValueError."""
+            if isinstance(req, MalformedRequest):
+                raise ValueError(f"malformed JSON: {req.error}")
             if not isinstance(req, dict):
                 raise ValueError(f"request must be a JSON object, got {type(req).__name__}")
-            if "_malformed" in req:
-                raise ValueError(f"malformed JSON: {req['_malformed']}")
             req_id = req.get("id")
             k_req = req.get("k", k_serve)
-            if not isinstance(k_req, int) or k_req <= 0:
+            if isinstance(k_req, bool) or not isinstance(k_req, int) or k_req <= 0:
                 raise ValueError(f"k must be a positive integer, got {k_req!r}")
             if k_req > k_serve:
                 raise ValueError(
@@ -658,36 +698,64 @@ class Pipeline:
                 )
             return emb, req_id, k_req
 
-        def _batches():
-            for req in requests:
-                try:
-                    emb, req_id, k_req = _parse(req)
-                except Exception as exc:  # noqa: BLE001 — bad request != dead server
-                    rid = req.get("id") if isinstance(req, dict) else None
-                    meta.append(("error", {"id": rid, "error": str(exc)}))
-                    continue
-                meta.append(("ok", req_id, k_req, emb.shape[0]))
-                yield emb
-
         def _path(idx: int) -> str:
             if manifest is not None and 0 <= idx < len(manifest):
                 return manifest[idx]
             return f"row:{idx}"
 
-        for ids, dists in engine.search_stream(_batches(), k=k_serve, depth=depth):
+        def _drain(target: int):
+            """Emit responses until at most ``target`` searches stay in
+            flight. Head-of-queue errors are always emittable (every earlier
+            response is already out)."""
             while meta and meta[0][0] == "error":
                 yield meta.popleft()[1]
-            _, req_id, k_req, _nq = meta.popleft()
-            results = [
-                [
-                    {"path": _path(int(i)), "row": int(i), "distance": float(d)}
-                    for i, d in zip(row_ids[:k_req], row_dists[:k_req])
+            while len(bufs) > target:
+                ids, dists = engine.collect(bufs.popleft())
+                _, req_id, k_req, nq = meta.popleft()
+                results = [
+                    [
+                        {"path": _path(int(i)), "row": int(i), "distance": float(d)}
+                        for i, d in zip(row_ids[:k_req], row_dists[:k_req])
+                    ]
+                    for row_ids, row_dists in zip(
+                        ids[:nq].tolist(), dists[:nq].tolist()
+                    )
                 ]
-                for row_ids, row_dists in zip(ids.tolist(), dists.tolist())
-            ]
-            yield {"id": req_id, "results": results}
-        while meta:  # trailing bad requests after the last dispatched one
-            yield meta.popleft()[1]
+                yield {"id": req_id, "results": results}
+                while meta and meta[0][0] == "error":
+                    yield meta.popleft()[1]
+
+        for req in requests:
+            if req is None:  # flush token: answer everything in flight
+                yield from _drain(0)
+                continue
+            try:
+                emb, req_id, k_req = _parse(req)
+            except Exception as exc:  # noqa: BLE001 — bad request != dead server
+                rid = req.get("id") if isinstance(req, dict) else None
+                meta.append(("error", {"id": rid, "error": str(exc)}))
+                yield from _drain(depth)
+                continue
+            nq = emb.shape[0]
+            padded = _serve_batch_shape(nq)
+            if padded != nq:
+                emb = np.concatenate(
+                    [emb, np.repeat(emb[-1:], padded - nq, axis=0)], axis=0
+                )
+            meta.append(("ok", req_id, k_req, nq))
+            bufs.append(engine.search_async(emb, k_serve))
+            yield from _drain(depth)
+        yield from _drain(0)
+
+    def _serve_manifest(self):
+        """The row->file manifest, read once per Pipeline (every TCP
+        connection runs its own :meth:`serve`; re-parsing a multi-million-row
+        manifest per connection is pure waste)."""
+        if self._manifest_cache is _UNSET:
+            from .store.vectorstore import load_manifest
+
+            self._manifest_cache = load_manifest(self.config.store.dir)
+        return self._manifest_cache
 
     def update(self) -> IngestStats:
         """Incremental ingest: embed only corpus files NOT yet in the global

@@ -184,3 +184,104 @@ def test_serve_tcp_round_trip(served):
     finally:
         server.shutdown()
         server.server_close()
+
+
+def test_serve_sync_ping_pong_tcp(served):
+    """THE deadlock regression: a synchronous client sends ONE request and
+    waits for the answer before sending the next. Before the flush-token
+    protocol the server sat in readline() while the result waited in the
+    pending queue, at every depth."""
+    import socket
+    import threading
+
+    from better_search_rag_rust_tpu.cli import make_tcp_server
+
+    server = make_tcp_server(served, "127.0.0.1", 0, k=5, depth=2)
+    host, port = server.server_address
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+    try:
+        with socket.create_connection((host, port), timeout=30) as s:
+            f = s.makefile("rw", encoding="utf-8")
+            f.write(json.dumps({"id": 1, "query": "method one"}) + "\n")
+            f.flush()
+            r1 = json.loads(f.readline())  # no further traffic sent
+            assert r1["id"] == 1 and "results" in r1
+            f.write(json.dumps({"id": 2}) + "\n")  # bad request
+            f.flush()
+            r2 = json.loads(f.readline())  # error answered immediately too
+            assert r2["id"] == 2 and "error" in r2
+            f.write(json.dumps({"id": 3, "queries": ["more"], "k": 1}) + "\n")
+            f.flush()
+            r3 = json.loads(f.readline())
+            assert r3["id"] == 3 and len(r3["results"][0]) == 1
+    finally:
+        server.shutdown()
+        server.server_close()
+
+
+def test_serve_tcp_binary_garbage_answered(served):
+    """Undecodable bytes produce a malformed-JSON error response for that
+    line; the connection (and later requests) keep working."""
+    import socket
+    import threading
+
+    from better_search_rag_rust_tpu.cli import make_tcp_server
+
+    server = make_tcp_server(served, "127.0.0.1", 0, k=5, depth=1)
+    host, port = server.server_address
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+    try:
+        with socket.create_connection((host, port), timeout=30) as s:
+            s.sendall(b"\xff\xfe{binary\n")
+            s.sendall(
+                json.dumps({"id": 2, "query": "still alive"}).encode() + b"\n"
+            )
+            f = s.makefile("r", encoding="utf-8")
+            r1 = json.loads(f.readline())
+            assert "error" in r1 and "malformed JSON" in r1["error"]
+            r2 = json.loads(f.readline())
+            assert r2["id"] == 2 and "results" in r2
+    finally:
+        server.shutdown()
+        server.server_close()
+
+
+def test_serve_flush_token_and_bool_k(served):
+    """None items flush in-flight responses in place (and no-op when idle);
+    JSON true/false never sneak through the integer k check."""
+    reqs = [None, {"id": 0, "query": "a"}, None,
+            {"id": 1, "query": "b", "k": True}, None,
+            {"id": 2, "query": "c"}]
+    out = list(served.serve(iter(reqs), depth=3))
+    assert [r["id"] for r in out] == [0, 1, 2]
+    assert "results" in out[0] and "results" in out[2]
+    assert "k must be a positive integer" in out[1]["error"]
+
+
+def test_serve_underscore_key_is_an_ordinary_request(served):
+    """A well-formed request that happens to contain a \"_malformed\" key is
+    served normally (the malformed marker is an out-of-band wrapper type)."""
+    resp = next(iter(served.serve([
+        {"id": 5, "query": "method", "_malformed": "not special"}
+    ])))
+    assert resp["id"] == 5 and "results" in resp
+
+
+def test_serve_pads_batches_to_fixed_shapes(served):
+    """Client batch sizes bucket to powers of two before dispatch: a
+    long-lived server must not compile one program per distinct size."""
+    from better_search_rag_rust_tpu.pipeline import _serve_batch_shape
+
+    assert [_serve_batch_shape(n) for n in (1, 2, 3, 5, 9, 1024)] == \
+        [1, 2, 4, 8, 16, 1024]
+    assert _serve_batch_shape(1025) == 2048  # above 1024: multiples of 1024
+    engine = served.engine()
+    mat = engine.store.effective_matrix()
+    for n in (3, 5):
+        reqs = [{"id": n, "vectors": mat[:n].tolist()}]
+        (resp,) = list(served.serve(iter(reqs)))
+        assert len(resp["results"]) == n  # padding trimmed from the response
+        assert [q[0]["row"] for q in resp["results"]] == list(range(n))
+    compiled_q = {key[0] for key in engine._compiled}
+    assert 3 not in compiled_q and 5 not in compiled_q
+    assert {4, 8} <= compiled_q
