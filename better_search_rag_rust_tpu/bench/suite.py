@@ -197,6 +197,24 @@ def run_search_suite(name: str, suite: SearchSuite) -> dict:
         n_streamed += s_ids.shape[0]
     stream_qps = n_streamed / max(time.perf_counter() - t0, 1e-9)
 
+    # Store-dtype upload: host-rounded bf16 query bits halve the upload
+    # bytes — the direct lever when the host->device link bounds the
+    # stream (it does through the relayed test chip).
+    stream_store_qps = None
+    if engine.supports_store_upload():
+        warm = list(  # compile the precast program outside the timing
+            engine.search_stream([queries], k=suite.top_k, upload="store")
+        )
+        del warm
+        t0 = time.perf_counter()
+        n_streamed = 0
+        for s_ids, _sd in engine.search_stream(
+            (queries for _ in range(suite.iters)), k=suite.top_k,
+            upload="store",
+        ):
+            n_streamed += s_ids.shape[0]
+        stream_store_qps = n_streamed / max(time.perf_counter() - t0, 1e-9)
+
     # Device-resident throughput: queries already in HBM (the serving shape —
     # the encoder produces them on-chip), results consumed on-chip. Dispatches
     # are pipelined and synchronized ONCE via a forced 1-element readback of
@@ -258,6 +276,9 @@ def run_search_suite(name: str, suite: SearchSuite) -> dict:
         "spread_pct": round(spread_pct, 2),
         "e2e_qps": round(e2e_qps, 2),
         "stream_e2e_qps": round(stream_qps, 2),
+        "stream_store_upload_qps": (
+            round(stream_store_qps, 2) if stream_store_qps else None
+        ),
         "p50_batch_latency_s": round(p50_latency_s, 4),
         "device_batch_latency_s": round(dev_elapsed / suite.iters, 4),
         "kernel": engine.kernel_name(suite.top_k),

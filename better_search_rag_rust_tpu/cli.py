@@ -92,6 +92,11 @@ def _add_common(p: argparse.ArgumentParser) -> None:
     srch.add_argument("--danger-units", type=int, default=8,
                       help="per-query danger-unit gather capacity for the "
                            "argmax fast path")
+    srch.add_argument("--query-upload", default="f32",
+                      choices=["f32", "store"],
+                      help="streaming/serve query upload: 'store' rounds "
+                           "queries to the store dtype on the host and "
+                           "uploads half the bytes (bf16 stores)")
     srch.add_argument("--query", default=None, metavar="TEXT",
                       help="free-text query: encode and retrieve matching "
                            "corpus files instead of the self-retrieval check")
@@ -137,6 +142,7 @@ def _config_from_args(args, skip_process: bool) -> PipelineConfig:
             kernel=args.search_kernel,
             rescore_argmax=getattr(args, "rescore_argmax", "auto"),
             danger_units=getattr(args, "danger_units", 8),
+            query_upload=getattr(args, "query_upload", "f32"),
         ),
         skip_process=skip_process,
         measure_serial_baseline=getattr(args, "speedup_baseline", False),

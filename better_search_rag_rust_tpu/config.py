@@ -174,6 +174,14 @@ class SearchConfig:
     #: units/query at the headline configs; stores with many same-unit
     #: top-k pairs overflow the capacity and take the fallback.
     danger_units: int = 8
+    #: Query upload dtype for the streaming/serving paths: "f32" uploads
+    #: f32 queries and rounds to the store dtype ON DEVICE (the default,
+    #: parity-pinned arithmetic); "store" normalizes + rounds on the HOST
+    #: and uploads store-dtype bits — half the host->device bytes on bf16
+    #: stores, the direct lever where the upload link bounds serving
+    #: throughput. Both paths are exact against the oracle fed their own
+    #: query bits (engine.prepare_upload_queries / oracle_topk(upload=)).
+    query_upload: str = "f32"
 
 
 @dataclass(frozen=True)

@@ -105,11 +105,17 @@ class EncoderService:
         ids, mask = self.tokenizer.encode_batch(texts)  # raises on empty text
         return TokenBatch(ids, mask, None, n)
 
-    def dispatch(self, tb: TokenBatch) -> PendingEmbeddings:
+    def dispatch(
+        self, tb: TokenBatch, host_copy: bool = True
+    ) -> PendingEmbeddings:
         """Stage 2: launch the device forward for every fixed-``batch_size``
         sub-batch WITHOUT waiting (zero-mask padding rows for the ragged
         tail). Returns immediately with async device buffers; the caller may
-        dispatch the next batch (or do host work) before :meth:`collect`."""
+        dispatch the next batch (or do host work) before :meth:`collect`.
+
+        ``host_copy=False`` skips starting the device->host copies — for
+        consumers that keep the embeddings on device (the serve fast
+        path), where a host copy would be pure wasted transfer."""
         n = tb.ids.shape[0]
         if n == 0:
             return PendingEmbeddings([], tb, 0)
@@ -131,6 +137,17 @@ class EncoderService:
                 dev_fwd(ids[s: s + bs], mask[s: s + bs])
                 for s in range(0, padded_n, bs)
             ]
+            # Start the device->host copy NOW: it fires as soon as the
+            # forward finishes, so by collect time — one pipelined batch
+            # later — the bytes are already in flight. Same trick as
+            # SearchEngine.search_async; through a relayed chip the
+            # synchronous per-batch readback (~40 ms) otherwise serializes
+            # with the next dispatch.
+            if host_copy:
+                for buf in buffers:
+                    copy = getattr(buf, "copy_to_host_async", None)
+                    if copy is not None:
+                        copy()
         else:
             buffers = [
                 self.encoder.encode_tokens(
@@ -164,6 +181,37 @@ class EncoderService:
         agg /= np.maximum(counts, 1)
         norms = np.linalg.norm(agg, axis=1, keepdims=True)
         return agg / np.where(norms == 0.0, 1.0, norms)
+
+    def get_embeddings_device(self, texts: Sequence[str]):
+        """Device-resident embeddings: ``[len(texts), dim]`` f32
+        ``jax.Array``, or ``None`` when this backend/mode cannot keep
+        results on device (no ``encode_tokens_device``, window pooling,
+        empty input) — callers fall back to :meth:`get_embeddings`.
+
+        This is the serve fast path: embeddings hand straight to
+        ``SearchEngine.search_async`` without the synchronous device->host
+        readback of :meth:`collect` OR the query re-upload — per text
+        request, two host<->device round trips fewer. Raises the same
+        empty-input contract errors as :meth:`get_embeddings` (both go
+        through :meth:`tokenize`)."""
+        if self.long_doc == "mean" and hasattr(
+            self.tokenizer, "encode_batch_windows"
+        ):
+            return None  # window pooling is a host-side reduce
+        if getattr(self.encoder, "encode_tokens_device", None) is None:
+            return None
+        tb = self.tokenize(texts)
+        if tb.n_docs == 0:
+            return None
+        pending = self.dispatch(tb, host_copy=False)
+        import jax
+        import jax.numpy as jnp
+
+        bufs = pending.buffers
+        if not bufs or not all(isinstance(b, jax.Array) for b in bufs):
+            return None
+        cat = bufs[0] if len(bufs) == 1 else jnp.concatenate(bufs, axis=0)
+        return cat[: pending.n_rows].astype(jnp.float32)
 
     def get_embeddings(self, texts: Sequence[str]) -> np.ndarray:
         """``texts -> [len(texts), dim]`` float32

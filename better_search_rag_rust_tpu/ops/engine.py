@@ -140,14 +140,100 @@ class SearchEngine:
         """
         return self._collect(self._pack(self._dispatch(queries, self._resolve_k(k))))
 
-    def search_async(self, queries: np.ndarray, k: Optional[int] = None):
+    def supports_store_upload(self) -> bool:
+        """Whether ``upload="store"`` actually halves query upload bytes
+        here: true for 16-bit store dtypes (bf16/f16)."""
+        return jnp.dtype(self.store.data.dtype).itemsize == 2
+
+    def prepare_upload_queries(self, queries: np.ndarray) -> np.ndarray:
+        """Host-side query prep for the halved-upload streaming path:
+        :func:`normalize_rows`' arithmetic evaluated in host f32, then ONE
+        rounding to the store dtype, padded to the store's padded dim.
+
+        These are the exact bits the precast program scores with, so the
+        oracle contract holds verbatim — feed the same array to
+        :meth:`oracle_topk` via ``upload="store"``. The rounding is defined
+        HOST-side on this path (the default path rounds on device after an
+        on-device f32 normalize); the two can differ on elements whose f32
+        normalized value sits within an f32 ulp of a store-dtype rounding
+        boundary, so each path is exact against its own query bits.
+        """
+        queries = self._prepare_queries(queries)
+        norms = np.sqrt(
+            np.sum(queries * queries, axis=-1, keepdims=True, dtype=np.float32)
+        )
+        qn = queries / np.where(norms == 0.0, 1.0, norms)
+        padded_dim = self.store.data.shape[1]
+        out = np.zeros((qn.shape[0], padded_dim), dtype=self.store.data.dtype)
+        out[:, : qn.shape[1]] = qn.astype(self.store.data.dtype)
+        return out
+
+    def _resolve_upload(self, upload: str) -> bool:
+        """True when this dispatch should take the precast (store-dtype
+        upload) program. ``"store"`` engages only where it halves bytes
+        (16-bit stores); f32 stores keep the default device-side rounding."""
+        if upload not in ("f32", "store"):
+            raise ValueError(f"upload must be 'f32' or 'store', got {upload!r}")
+        return upload == "store" and self.supports_store_upload()
+
+    def _dispatch_cast(self, queries: np.ndarray, k_eff: int):
+        """Launch the precast program on host-rounded store-dtype queries
+        (from :meth:`prepare_upload_queries`) — half the upload bytes of
+        :meth:`_dispatch` on bf16 stores."""
+        qc = self.prepare_upload_queries(queries)
+        fn = self._get_fn(qc.shape[0], k_eff, precast=True)
+        return fn(self.store.data, jnp.asarray(qc))
+
+    def _dispatch_device(self, queries: jax.Array, k_eff: int):
+        """Launch the standard program on DEVICE-resident f32 queries (e.g.
+        straight from the encoder) — no host round trip on the query side.
+        Mirrors :meth:`_prepare_queries`' Matryoshka truncation and dim
+        padding as (tiny, async) device ops."""
+        if (
+            self.store.matryoshka_from is not None
+            and queries.shape[1] == self.store.matryoshka_from
+        ):
+            queries = queries[:, : self.store.dim]
+        if queries.shape[1] != self.store.dim:
+            raise ValueError(
+                f"query dim {queries.shape[1]} != store dim {self.store.dim}"
+            )
+        if queries.dtype != jnp.float32:
+            queries = queries.astype(jnp.float32)
+        padded_dim = self.store.data.shape[1]
+        if padded_dim != queries.shape[1]:
+            queries = jnp.pad(
+                queries, ((0, 0), (0, padded_dim - queries.shape[1]))
+            )
+        fn = self._get_fn(queries.shape[0], k_eff)
+        return fn(self.store.data, queries)
+
+    def search_async(
+        self, queries: np.ndarray, k: Optional[int] = None,
+        upload: str = "f32",
+    ):
         """Dispatch a search WITHOUT waiting: launches the compiled program
         and starts the device->host copy of the packed result buffer
         asynchronously, so by :meth:`collect` time the bytes are already in
         flight. Returns an opaque handle for :meth:`collect`. This is the
         building block under :meth:`search_stream` and the serve loop's
-        request pipelining."""
-        buf = self._pack(self._dispatch(queries, self._resolve_k(k)))
+        request pipelining.
+
+        ``upload="store"`` rounds queries to the store dtype on the HOST
+        (:meth:`prepare_upload_queries`) and uploads half the bytes — the
+        win where the host->device link is the serving bottleneck.
+
+        ``queries`` may also be a DEVICE array (``jax.Array``, e.g. straight
+        from the encoder): then nothing uploads at all — the query side
+        stays on device (``upload`` is ignored; results are bitwise the
+        round trip's, since an f32 host round trip is lossless)."""
+        k_eff = self._resolve_k(k)
+        if isinstance(queries, jax.Array):
+            buf = self._pack(self._dispatch_device(queries, k_eff))
+        elif self._resolve_upload(upload):
+            buf = self._pack(self._dispatch_cast(queries, k_eff))
+        else:
+            buf = self._pack(self._dispatch(queries, k_eff))
         for arr in (buf,) if isinstance(buf, jax.Array) else buf:
             arr.copy_to_host_async()
         return buf
@@ -157,7 +243,10 @@ class SearchEngine:
         ``(indices [Q, k'], distances [Q, k'])`` contract of :meth:`search`."""
         return self._collect(handle)
 
-    def search_stream(self, batches, k: Optional[int] = None, depth: int = 1):
+    def search_stream(
+        self, batches, k: Optional[int] = None, depth: int = 1,
+        upload: str = "f32",
+    ):
         """Pipelined streaming search: yields ``(indices, distances)`` per
         query batch, keeping up to ``depth`` batches in flight on the device
         before batch results are pulled back, so host transfer overlaps
@@ -174,6 +263,10 @@ class SearchEngine:
 
         Batches sharing one shape reuse a single compiled program; a new
         shape compiles once.
+
+        ``upload="store"`` uploads host-rounded store-dtype query bits —
+        half the bytes on bf16 stores, the direct lever on an upload-bound
+        stream (see :meth:`search_async`).
         """
         if depth < 1:
             raise ValueError(f"depth must be >= 1, got {depth}")
@@ -182,7 +275,7 @@ class SearchEngine:
         k_eff = self._resolve_k(k)
         pending = deque()
         for q in batches:
-            pending.append(self.search_async(q, k_eff))
+            pending.append(self.search_async(q, k_eff, upload=upload))
             if len(pending) > depth:
                 yield self.collect(pending.popleft())
         while pending:
@@ -237,7 +330,8 @@ class SearchEngine:
     # -- oracle hooks ----------------------------------------------------------
 
     def oracle_topk(
-        self, queries: np.ndarray, k: Optional[int] = None
+        self, queries: np.ndarray, k: Optional[int] = None,
+        upload: str = "f32",
     ) -> Tuple[np.ndarray, np.ndarray]:
         """Serial-scan oracle over the *same scoring arithmetic* the engine
         uses (one full similarity matrix on one device, selection by stable
@@ -246,17 +340,43 @@ class SearchEngine:
         one cosine kernel (src/metrics.rs:143) and only the distribution
         machinery differed. ``top_k_overlap(oracle, engine) == 1.0`` is the
         correctness contract for every store size, dtype and mesh.
+
+        ``upload`` selects which query-bit definition the oracle pins:
+        ``"f32"`` = the default path's on-device normalize + rounding;
+        ``"store"`` = the host-rounded bits of
+        :meth:`prepare_upload_queries`, matching
+        ``search_stream(..., upload="store")``.
         """
         import jax.numpy as jnp  # local alias for clarity
 
         queries = self._prepare_queries(queries)
         k = self.config.top_k if k is None else k
+        store_host = np.asarray(jax.device_get(self.store.data))
+        dev = jax.devices()[0]
+
+        if self._resolve_upload(upload):
+            qp = self.prepare_upload_queries(queries)
+
+            @jax.jit
+            def _sims_cast(data, qc):
+                return jnp.dot(
+                    qc, data.T, preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST,
+                )
+
+            sims = np.asarray(
+                _sims_cast(
+                    jax.device_put(store_host, dev), jax.device_put(qp, dev)
+                )
+            )[:, : self.store.num_rows]
+            return serial_topk(
+                self.effective_store(), queries,
+                min(k, self.store.num_rows), sims=sims,
+            )
+
         padded_dim = self.store.data.shape[1]
         qp = np.zeros((queries.shape[0], padded_dim), dtype=np.float32)
         qp[:, : queries.shape[1]] = queries
-
-        store_host = np.asarray(jax.device_get(self.store.data))
-        dev = jax.devices()[0]
 
         @jax.jit
         def _sims(data, q):
@@ -497,9 +617,9 @@ class SearchEngine:
             self._sims_budget() // (q_tile * 4),
         )
 
-    def _get_fn(self, q: int, k_eff: int):
+    def _get_fn(self, q: int, k_eff: int, precast: bool = False):
         kernel = self._resolve_kernel(k_eff)
-        key = (q, k_eff, kernel)
+        key = (q, k_eff, kernel, precast)
         cached = self._compiled.get(key)
         if cached is not None:
             return cached
@@ -583,13 +703,20 @@ class SearchEngine:
         sharded = NamedSharding(mesh, P(DATA_AXIS, None))
         replicated = NamedSharding(mesh, P(None, None))
 
-        def search_fn(data, queries):
-            # barrier: guarantee the kernels consume materialized
-            # store-dtype query bits whatever XLA fusion decides (the
-            # oracle pins the same — see oracle_topk)
-            queries_cast = jax.lax.optimization_barrier(
-                normalize_rows(queries).astype(store_dtype))
-            return merge(*mapped(data, queries_cast))
+        if precast:
+            # Queries arrive already normalized + rounded to the store
+            # dtype on the HOST (prepare_upload_queries) — the bits are
+            # materialized by construction, so no barrier is needed.
+            def search_fn(data, queries_cast):
+                return merge(*mapped(data, queries_cast))
+        else:
+            def search_fn(data, queries):
+                # barrier: guarantee the kernels consume materialized
+                # store-dtype query bits whatever XLA fusion decides (the
+                # oracle pins the same — see oracle_topk)
+                queries_cast = jax.lax.optimization_barrier(
+                    normalize_rows(queries).astype(store_dtype))
+                return merge(*mapped(data, queries_cast))
 
         fn = jax.jit(search_fn, in_shardings=(sharded, replicated))
         self._compiled[key] = fn

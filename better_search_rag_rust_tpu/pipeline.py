@@ -678,7 +678,16 @@ class Pipeline:
                     raise ValueError("queries must be non-empty")
                 if not all(isinstance(t, str) for t in texts):
                     raise ValueError("query texts must be strings")
-                emb = self.encoder.get_embeddings(texts)
+                # Serve fast path: keep the embeddings ON DEVICE and hand
+                # them straight to search — skips the synchronous
+                # embeddings readback AND the query re-upload (two
+                # host<->device round trips per text request). Backends
+                # without a device forward (or window pooling) fall back
+                # to the host path; results are bitwise identical either
+                # way (an f32 round trip is lossless).
+                emb = self.encoder.get_embeddings_device(texts)
+                if emb is None:
+                    emb = self.encoder.get_embeddings(texts)
             else:
                 vecs = [req["vector"]] if kind == "vector" else list(req["vectors"])
                 if not vecs:
@@ -739,11 +748,22 @@ class Pipeline:
             nq = emb.shape[0]
             padded = _serve_batch_shape(nq)
             if padded != nq:
-                emb = np.concatenate(
-                    [emb, np.repeat(emb[-1:], padded - nq, axis=0)], axis=0
+                # Pad rows by replicating the last query (trimmed from the
+                # response) — with jnp for device-resident embeddings so the
+                # fast path never bounces through the host.
+                import jax
+                import jax.numpy as jnp
+
+                xp = jnp if isinstance(emb, jax.Array) else np
+                emb = xp.concatenate(
+                    [emb, xp.repeat(emb[-1:], padded - nq, axis=0)], axis=0
                 )
             meta.append(("ok", req_id, k_req, nq))
-            bufs.append(engine.search_async(emb, k_serve))
+            bufs.append(
+                engine.search_async(
+                    emb, k_serve, upload=self.config.search.query_upload
+                )
+            )
             yield from _drain(depth)
         yield from _drain(0)
 

@@ -66,6 +66,17 @@ def main() -> int:
             # sound only because Mosaic bf16 dots are bitwise identical —
             # exactly what this on-hardware sweep must prove);
             # "rescore-noarg" pins the round-3 full-gather path.
+            # stable digest, NOT hash(): Python string hashing is
+            # salted per process, which made sweep runs irreproducible
+            import hashlib
+
+            seed = int.from_bytes(
+                hashlib.blake2b(name.encode(), digest_size=4).digest(),
+                "little",
+            )
+            rng = np.random.default_rng(seed)
+            qi = rng.integers(0, mat.shape[0], 8)
+            queries = mat[qi]
             for kernel in kernels:
                 eng = SearchEngine(
                     store,
@@ -76,17 +87,6 @@ def main() -> int:
                         else "auto",
                     ),
                 )
-                # stable digest, NOT hash(): Python string hashing is
-                # salted per process, which made sweep runs irreproducible
-                import hashlib
-
-                seed = int.from_bytes(
-                    hashlib.blake2b(name.encode(), digest_size=4).digest(),
-                    "little",
-                )
-                rng = np.random.default_rng(seed)
-                qi = rng.integers(0, mat.shape[0], 8)
-                queries = mat[qi]
                 for k in (1, 10, 100):
                     ids, dists = eng.search(queries, k=k)
                     o_ids, o_dists = eng.oracle_topk(queries, k=k)
@@ -99,6 +99,23 @@ def main() -> int:
                               flush=True)
                     else:
                         print(f"pass  {tag}", flush=True)
+            if dtype == "bfloat16":
+                # Precast path: host-rounded store-dtype query upload
+                # (search_stream upload="store") vs the oracle fed the SAME
+                # bits — proves the precast compiled program on hardware.
+                eng = SearchEngine(store, SearchConfig(sims_buffer_bytes=0))
+                (ids, dists), = eng.search_stream(
+                    [queries], k=100, upload="store"
+                )
+                o_ids, _ = eng.oracle_topk(queries, k=100, upload="store")
+                tag = f"{name} {dtype} precast-upload k=100"
+                if not np.array_equal(ids, o_ids):
+                    failures += 1
+                    bad = np.argwhere(ids != o_ids)[:3]
+                    print(f"FAIL  {tag}  first diffs {bad.tolist()}",
+                          flush=True)
+                else:
+                    print(f"pass  {tag}", flush=True)
             del store
     print(f"\n{'ALL PASS' if failures == 0 else f'{failures} FAILURES'}",
           flush=True)

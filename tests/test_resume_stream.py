@@ -223,6 +223,56 @@ def test_search_stream_depths(mesh8):
         list(engine.search_stream(iter(batches), k=4, depth=0))
 
 
+def test_search_stream_store_upload_exact(mesh8):
+    """``upload="store"`` streams host-rounded store-dtype query bits (half
+    the upload bytes on bf16 stores); results are exactly the oracle fed
+    the SAME bits — including duplicates, ties and a zero query."""
+    mat = mock_embeddings(300, dim=32, seed=44)
+    mat[10] = mat[3]  # duplicate rows: ties must resolve to the lowest id
+    mat[250] = mat[3]
+    store = DeviceStore.from_host(mat, mesh8, dtype="bfloat16", chunk_rows=128)
+    engine = SearchEngine(store, SearchConfig())
+    assert engine.supports_store_upload()
+    queries = np.concatenate([mat[:8], np.zeros((1, 32), np.float32)])
+    (ids, dists), = engine.search_stream([queries], k=7, upload="store")
+    o_ids, o_d = engine.oracle_topk(queries, k=7, upload="store")
+    np.testing.assert_array_equal(ids, o_ids)
+    np.testing.assert_allclose(dists, o_d, atol=1e-7)
+    # the duplicate triple ranks id-ascending for the self-query
+    assert list(ids[3, :3]) == [3, 10, 250]
+
+
+def test_prepare_upload_queries_bits(mesh8):
+    """The uploaded array is store-dtype, padded to the store's padded dim,
+    and carries exactly one rounding of the host-normalized f32 queries."""
+    mat = mock_embeddings(64, dim=24, seed=45)
+    store = DeviceStore.from_host(mat, mesh8, dtype="bfloat16", chunk_rows=128)
+    engine = SearchEngine(store, SearchConfig())
+    q = mat[:4] * 3.7  # un-normalized on purpose
+    qc = engine.prepare_upload_queries(q)
+    assert qc.dtype == store.data.dtype
+    assert qc.shape == (4, store.data.shape[1])
+    norms = np.sqrt(np.sum(q * q, axis=-1, keepdims=True, dtype=np.float32))
+    want = (q / norms).astype(store.data.dtype)
+    np.testing.assert_array_equal(qc[:, :24], want)
+    assert not qc[:, 24:].astype(np.float32).any()  # zero padding
+
+
+def test_store_upload_f32_fallback(mesh8):
+    """On f32 stores ``upload="store"`` buys nothing, so it falls back to
+    the default path — results identical to plain search; bad values raise."""
+    mat = mock_embeddings(100, dim=16, seed=46)
+    store = DeviceStore.from_host(mat, mesh8, dtype="float32", chunk_rows=128)
+    engine = SearchEngine(store, SearchConfig(kernel="global"))
+    assert not engine.supports_store_upload()
+    (ids, dists), = engine.search_stream([mat[:6]], k=5, upload="store")
+    wi, wd = engine.search(mat[:6], k=5)
+    np.testing.assert_array_equal(ids, wi)
+    np.testing.assert_array_equal(dists, wd)
+    with pytest.raises(ValueError):
+        list(engine.search_stream([mat[:6]], k=5, upload="bf16"))
+
+
 def test_ingest_failed_batch_log_and_continue(corpus, tmp_path):
     """A batch whose forward dies mid-pipeline is logged and skipped
     (reference: tasks.rs:118-124); every other batch's rows land, the

@@ -83,6 +83,45 @@ def test_serve_batch_vectors_and_k_trim(served):
     assert all(len(q) == 3 for q in out[2]["results"])
 
 
+def test_serve_text_device_path_matches_host(served, monkeypatch):
+    """Text requests ride the device-resident embedding fast path (no
+    readback, no re-upload); responses are identical to the host fallback
+    — an f32 round trip is lossless. The 3-query batch also covers the
+    on-device row padding (padded to the next fixed shape)."""
+    from better_search_rag_rust_tpu.models.encoder import EncoderService
+
+    reqs = [{"id": 1, "queries": ["alpha beta", "gamma", "delta eps"]}]
+    # Sanity: the hash encoder really does provide the device path.
+    assert served.encoder.get_embeddings_device(["alpha beta"]) is not None
+    dev_out = list(served.serve(iter(reqs)))
+    monkeypatch.setattr(
+        EncoderService, "get_embeddings_device", lambda self, texts: None
+    )
+    host_out = list(served.serve(iter(reqs)))
+    assert dev_out == host_out
+
+
+def test_get_embeddings_device_matches_host(served):
+    """The device-resident embeddings are bitwise the host API's."""
+    texts = ["one two three", "four five"]
+    dev = served.encoder.get_embeddings_device(texts)
+    host = served.encoder.get_embeddings(texts)
+    np.testing.assert_array_equal(np.asarray(dev), host)
+
+
+def test_search_async_device_queries(served):
+    """engine.search_async accepts a device array and returns the same
+    results as the host-queries path."""
+    import jax.numpy as jnp
+
+    engine = served.engine()
+    q = served.encoder.get_embeddings(["lorem ipsum", "dolor sit"])
+    want = engine.search(q, k=4)
+    got = engine.collect(engine.search_async(jnp.asarray(q), k=4))
+    np.testing.assert_array_equal(got[0], want[0])
+    np.testing.assert_array_equal(got[1], want[1])
+
+
 def test_serve_errors_in_order_never_kill_stream(served):
     """Bad requests produce in-order error responses; serving continues."""
     reqs = [
