@@ -89,7 +89,7 @@ def _add_common(p: argparse.ArgumentParser) -> None:
                       help="argmax fast path of the rescore kernel "
                            "(candidates from in-kernel unit argmaxes; "
                            "only danger units gathered)")
-    srch.add_argument("--danger-units", type=int, default=8,
+    srch.add_argument("--danger-units", type=int, default=4,
                       help="per-query danger-unit gather capacity for the "
                            "argmax fast path")
     srch.add_argument("--query-upload", default="f32",
@@ -141,7 +141,7 @@ def _config_from_args(args, skip_process: bool) -> PipelineConfig:
             chunk_rows=args.chunk_rows,
             kernel=args.search_kernel,
             rescore_argmax=getattr(args, "rescore_argmax", "auto"),
-            danger_units=getattr(args, "danger_units", 8),
+            danger_units=getattr(args, "danger_units", 4),
             query_upload=getattr(args, "query_upload", "f32"),
         ),
         skip_process=skip_process,

@@ -170,10 +170,13 @@ class SearchConfig:
     #: oracle-exact; chip-verified bitwise identical).
     rescore_argmax: str = "auto"
     #: Danger-unit gather capacity per query for the argmax fast path
-    #: (rounded up to a legal DMA group). Uncorrelated stores need ~0.07
-    #: units/query at the headline configs; stores with many same-unit
-    #: top-k pairs overflow the capacity and take the fallback.
-    danger_units: int = 8
+    #: (rounded up to a legal DMA group). Uncorrelated stores need ~0.1
+    #: units/query at the headline configs (overflow odds at capacity 4:
+    #: ~1% of 512-query tiles take the exact-fallback full gather, ~+1%
+    #: avg cost); the gather cost is per-SLOT, so halving 8 -> 4 bought
+    #: -6% on the 1M x 768 tile (scripts/proto_pad_ab.py). Stores with
+    #: many same-unit top-k pairs should raise this back toward 8-16.
+    danger_units: int = 4
     #: Query upload dtype for the streaming/serving paths: "f32" uploads
     #: f32 queries and rounds to the store dtype ON DEVICE (the default,
     #: parity-pinned arithmetic); "store" normalizes + rounds on the HOST

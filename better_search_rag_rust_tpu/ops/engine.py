@@ -451,9 +451,12 @@ class SearchEngine:
         units' rows are no longer gathered at all, and the dominant cost
         becomes the [R/sub, T] refine sources — bms plus the packed
         (m2, argmax) key (source-bytes bound, ~138 GB/s scan-select) —
-        so sub DOUBLES to 32 there
-        (chip-measured -11%/tile at 1M x 768; sub=64 equal, kept at 32
-        for the lower same-unit danger rate on clustered corpora).
+        so sub WIDENS to 64 there: both source scans halve vs sub=32
+        (chip-measured 6.34 -> 5.19 ms per [512, 1M x 768] tile at
+        danger capacity 8, scripts/proto_tail.py). The doubled same-unit
+        danger rate that kept round 5 at sub=32 stopped mattering once
+        non-danger capacity slots became ~free (the dummy-id DMA-skip
+        padding in ..topk.rescore_topk), so capacity 8 stays the default.
         Low-dim huge stores keep 128-row units / 1024-row blocks
         (sub=256 measured WORSE at 10M x 256 — the bm pass slows more
         than the smaller sources save)."""
@@ -461,7 +464,7 @@ class SearchEngine:
         itemsize = jnp.dtype(self.store.data.dtype).itemsize
         argmax = self.config.rescore_argmax != "off"
         if dim * itemsize >= 1024:
-            return (32, 128, 8) if argmax else (16, 128, 8)
+            return (64, 128, 4) if argmax else (16, 128, 8)
         return 128, 1024, 4
 
     def _rescore_wins(self, k_eff: int) -> bool:

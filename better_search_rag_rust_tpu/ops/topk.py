@@ -462,7 +462,8 @@ def rescore_topk(
     sub_block: int = 0,
     cpg: int = 0,
     argmax_fast: bool = False,
-    danger_units: int = 8,
+    danger_units: int = 4,
+    danger_cpg: int = 0,
 ) -> Tuple[jax.Array, jax.Array]:
     """Exact top-k WITHOUT materializing the similarity matrix.
 
@@ -494,11 +495,14 @@ def rescore_topk(
        containment proof one level down.
 
     Geometry (picked by the engine): high-dim stores use
-    ``(sub_block=16, block=128, cpg=8)`` — extraction traffic drops 8x vs
-    128-row units (1M x 768: 19.7 -> 2.8 MB/query); low-dim huge stores use
-    ``(sub_block=128, block=1024, cpg=4)`` — 64 KB DMA units. ``cpg`` units
-    are fetched per (query, grid step); ``cpg * sub_block`` must be a
-    multiple of 128 (the kernel's output lane width).
+    ``(sub_block=64, block=128, cpg=4)`` under the argmax fast path (the
+    [R/sub, T] refine-source scans dominate, so wide units win) and
+    ``(sub_block=16, block=128, cpg=8)`` for the full-gather variant —
+    extraction traffic drops 8x vs 128-row units (1M x 768: 19.7 ->
+    2.8 MB/query); low-dim huge stores use ``(sub_block=128, block=1024,
+    cpg=4)`` — 64 KB DMA units. ``cpg`` units are fetched per (query,
+    grid step); ``cpg * sub_block`` must be a multiple of 128 (the
+    kernel's output lane width).
 
     **Argmax fast path** (``argmax_fast``, round 4). The bm pass also
     emits each unit's argmax row and second max — free, the VPU
@@ -699,7 +703,17 @@ def rescore_topk(
             # argmax fast path feasibility: the k-th selected unit max
             # must exist (ks >= k) and the danger capacity must be a
             # legal gather_rescore shape within the selected set.
-            cpg_d = max(1, 128 // sub) if sub < 128 else 4
+            # Danger-gather units per grid step. Chip-measured
+            # (scripts/proto_pad_ab2.py): the gather cost is dominated by
+            # per-capacity-SLOT work, and packing more units into one
+            # step is WORSE at high dim (cpg=8 blows the double-buffer
+            # VMEM budget: 1 step of 8 = 6.17 ms/tile vs 4 steps of 2 =
+            # 5.83 at 1M x 768) — so take the legality floor there and
+            # the measured optimum 4 at the low-dim sub=128 geometry
+            # (``danger_cpg`` overrides for tuning sweeps).
+            cpg_d = danger_cpg or (max(1, 128 // sub) if sub < 128 else 4)
+            if (cpg_d * sub) % 128:
+                cpg_d = max(1, 128 // sub)
             gd = max(cpg_d, _round_up(min(danger_units, ks), cpg_d))
             af = argmax_fast and ks >= k and gd <= ks
             rt = pick_bm2_row_tile(rows_pad, d, t, sub, block, itemsize,

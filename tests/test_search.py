@@ -699,17 +699,19 @@ def test_rescore_argmax_fast_and_fallback_interpret():
     q2[1, 5] = 1.0                          # plain cross-unit tie query
     check(mat2, q2, 8, "one-hot danger")
 
-    # sub=32: the engine's argmax-path geometry for high-dim stores
+    # sub=32 and sub=64 (the engine's argmax-path geometry for high-dim
+    # stores; 64 since the dummy-id danger padding made wide units cheap)
     from better_search_rag_rust_tpu.ops.topk import rescore_topk as _rt
     import jax.numpy as _jnp
     m2n = mat2 / np.maximum(np.linalg.norm(mat2, axis=1, keepdims=True), 1)
-    v32, i32 = _rt(_jnp.asarray(m2n.astype(np.float32)),
-                   _jnp.asarray(q2), 8, _jnp.int32(0), 2048, q_tile=8,
-                   use_pallas=True, sub_block=32, block=128, cpg=8,
-                   argmax_fast=True)
     o32, _ = serial_topk(m2n.astype(np.float32), q2, 8)
-    np.testing.assert_array_equal(np.asarray(i32), o32,
-                                  err_msg="one-hot sub=32")
+    for sb, cg in ((32, 8), (64, 4)):
+        _v, i32 = _rt(_jnp.asarray(m2n.astype(np.float32)),
+                      _jnp.asarray(q2), 8, _jnp.int32(0), 2048, q_tile=8,
+                      use_pallas=True, sub_block=sb, block=128, cpg=cg,
+                      argmax_fast=True)
+        np.testing.assert_array_equal(np.asarray(i32), o32,
+                                      err_msg=f"one-hot sub={sb}")
 
     # duplicate-saturated: every unit's second max equals its max ->
     # danger overflow -> fallback branch
@@ -828,7 +830,7 @@ def test_auto_kernel_cost_model_picks_rescore_for_headline_shapes():
         return SE(store, SearchConfig(**cfg))
 
     e = eng_for(768, 1 << 20)
-    assert e._rescore_geometry(100)[0] == 32  # argmax-path geometry
+    assert e._rescore_geometry(100)[0] == 64  # argmax-path geometry
     assert e._resolve_kernel(100) == "rescore"
 
     # argmax off: round-3 full-gather model, sub=16 — still rescore at 768-d
