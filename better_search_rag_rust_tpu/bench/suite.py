@@ -77,6 +77,18 @@ SUITES: Dict[str, SearchSuite] = {
         rows=10_000_000, dim=256, queries=1024, top_k=100,
         matryoshka_dim=256, iters=4, chunk_rows=65536,
     ),
+    # int8 quantized-store variants: symmetric lattice scoring (exact vs
+    # the integer oracle — ops/quantize.py), ~2x the bf16 MXU rate and
+    # half its HBM bytes. recall_at_10 here is still self-retrieval over
+    # the store's own rows, exact by construction.
+    "search_1m_int8": SearchSuite(
+        rows=1_000_000, dim=768, queries=1024, top_k=100,
+        store_dtype="int8",
+    ),
+    "search_10m_int8_mat256": SearchSuite(
+        rows=10_000_000, dim=256, queries=1024, top_k=100,
+        matryoshka_dim=256, iters=4, chunk_rows=65536, store_dtype="int8",
+    ),
 }
 
 
@@ -98,15 +110,18 @@ def synthetic_device_store(mesh, rows: int, dim: int, dtype: str,
     padded_dim = pad_to_multiple(dim, LANE)
     sharding = NamedSharding(mesh, P("data", None))
 
+    from ..ops.quantize import cast_rows_to
+
     @jax.jit
     def gen(key):
         x = jax.random.normal(key, (padded_rows, padded_dim), dtype=jnp.float32)
-        # zero the dim padding, normalize, cast
+        # zero the dim padding, normalize, cast (int8: lattice quantize)
         col = jnp.arange(padded_dim) < dim
         x = jnp.where(col[None, :], x, 0.0)
         norms = jnp.sqrt(jnp.sum(x * x, axis=-1, keepdims=True))
         x = x / jnp.where(norms == 0.0, 1.0, norms)
-        return jax.lax.with_sharding_constraint(x.astype(dtype), sharding)
+        return jax.lax.with_sharding_constraint(cast_rows_to(x, dtype),
+                                                sharding)
 
     data = gen(jax.random.PRNGKey(seed))
     jax.block_until_ready(data)
@@ -260,8 +275,13 @@ def run_search_suite(name: str, suite: SearchSuite) -> dict:
     )
     baseline_24rank = baseline_serial * SERIAL_SCALE_RANKS
 
-    # MFU: useful scan FLOPs (2 * rows * dim per query) over peak bf16.
-    peak = device_peak_flops()
+    # MFU: useful scan ops (2 * rows * dim per query) over the peak matmul
+    # rate AT THE STORE DTYPE (int8 runs the MXU at 2x bf16 on v5e+).
+    from ..ops.device_profile import peak_matmul_flops
+
+    peak = peak_matmul_flops(
+        getattr(jax.devices()[0], "device_kind", ""), suite.store_dtype
+    )
     flops = 2.0 * suite.rows * (suite.matryoshka_dim or suite.dim)
     mfu = round(flops * qps / (peak * len(jax.devices())), 4) if peak else None
 

@@ -132,7 +132,11 @@ class SearchConfig:
     chunk_rows: int = 16384
     #: Column-block size for the hierarchical (block-max) merge.
     row_block: int = 128
-    #: dtype the store shards are held in on device HBM.
+    #: dtype the store shards are held in on device HBM: "bfloat16"
+    #: (default — exact vs the bf16-rounded oracle), "float32" (exact vs
+    #: the f32 oracle; XLA kernels only), or "int8" (symmetric lattice
+    #: quantization, ~2x scoring rate and half of bf16's HBM bytes; exact
+    #: vs the integer oracle — see ops/quantize.py for the trade).
     store_dtype: str = "bfloat16"
     #: Per-device cap on the f32 similarity buffer of the dense kernel;
     #: shards bigger than it are scanned in macro chunks with a running
@@ -181,9 +185,10 @@ class SearchConfig:
     #: f32 queries and rounds to the store dtype ON DEVICE (the default,
     #: parity-pinned arithmetic); "store" normalizes + rounds on the HOST
     #: and uploads store-dtype bits — half the host->device bytes on bf16
-    #: stores, the direct lever where the upload link bounds serving
-    #: throughput. Both paths are exact against the oracle fed their own
-    #: query bits (engine.prepare_upload_queries / oracle_topk(upload=)).
+    #: stores, a quarter on int8, the direct lever where the upload link
+    #: bounds serving throughput. Both paths are exact against the oracle
+    #: fed their own query bits (engine.prepare_upload_queries /
+    #: oracle_topk(upload=)).
     query_upload: str = "f32"
 
 

@@ -105,6 +105,20 @@ def peak_bf16_flops(kind: str) -> Optional[float]:
     return best.peak_bf16_tflops * 1e12 if best else None
 
 
+def peak_matmul_flops(kind: str, dtype) -> Optional[float]:
+    """Peak matmul op rate for MFU reporting at an operand dtype: int8
+    doubles the MXU rate on v5e+ (v5e 394 TOPS vs 197 TFLOPS bf16; v4 has
+    no int8 speedup), every other dtype reports against the bf16 peak."""
+    import jax.numpy as jnp
+
+    peak = peak_bf16_flops(kind)
+    if peak is None:
+        return None
+    if jnp.dtype(dtype) == jnp.int8 and "v4" not in (kind or "").lower():
+        return peak * 2.0
+    return peak
+
+
 def local_device_kind() -> str:
     import jax
 

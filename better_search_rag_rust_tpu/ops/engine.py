@@ -141,9 +141,10 @@ class SearchEngine:
         return self._collect(self._pack(self._dispatch(queries, self._resolve_k(k))))
 
     def supports_store_upload(self) -> bool:
-        """Whether ``upload="store"`` actually halves query upload bytes
-        here: true for 16-bit store dtypes (bf16/f16)."""
-        return jnp.dtype(self.store.data.dtype).itemsize == 2
+        """Whether ``upload="store"`` actually shrinks query upload bytes
+        here: true for sub-f32 store dtypes — 2x for bf16/f16, 4x for
+        int8."""
+        return jnp.dtype(self.store.data.dtype).itemsize < 4
 
     def prepare_upload_queries(self, queries: np.ndarray) -> np.ndarray:
         """Host-side query prep for the halved-upload streaming path:
@@ -163,15 +164,18 @@ class SearchEngine:
             np.sum(queries * queries, axis=-1, keepdims=True, dtype=np.float32)
         )
         qn = queries / np.where(norms == 0.0, 1.0, norms)
+        from .quantize import cast_rows_to_host
+
         padded_dim = self.store.data.shape[1]
         out = np.zeros((qn.shape[0], padded_dim), dtype=self.store.data.dtype)
-        out[:, : qn.shape[1]] = qn.astype(self.store.data.dtype)
+        out[:, : qn.shape[1]] = cast_rows_to_host(qn, self.store.data.dtype)
         return out
 
     def _resolve_upload(self, upload: str) -> bool:
         """True when this dispatch should take the precast (store-dtype
-        upload) program. ``"store"`` engages only where it halves bytes
-        (16-bit stores); f32 stores keep the default device-side rounding."""
+        upload) program. ``"store"`` engages only where it shrinks bytes
+        (sub-f32 stores); f32 stores keep the default device-side
+        rounding."""
         if upload not in ("f32", "store"):
             raise ValueError(f"upload must be 'f32' or 'store', got {upload!r}")
         return upload == "store" and self.supports_store_upload()
@@ -359,10 +363,9 @@ class SearchEngine:
 
             @jax.jit
             def _sims_cast(data, qc):
-                return jnp.dot(
-                    qc, data.T, preferred_element_type=jnp.float32,
-                    precision=jax.lax.Precision.HIGHEST,
-                )
+                from .topk import xla_sims
+
+                return xla_sims(qc, data)
 
             sims = np.asarray(
                 _sims_cast(
@@ -380,21 +383,19 @@ class SearchEngine:
 
         @jax.jit
         def _sims(data, q):
-            # The barrier pins the query's bf16 rounding: without it XLA
-            # folds the convert into this small program's single matmul
-            # and effectively scores with higher-precision queries —
-            # ~1e-4 sims shifts vs the engine's materialized bf16 query
+            # The barrier pins the query's store-dtype rounding: without
+            # it XLA folds the convert into this small program's single
+            # matmul and effectively scores with higher-precision queries
+            # — ~1e-4 sims shifts vs the engine's materialized bf16 query
             # bits, which flipped near-ties on chip (engine kernels all
             # agreed with each other and differed from the oracle). The
-            # contract is scores over bf16-rounded rows AND queries.
+            # contract is scores over store-rounded rows AND queries.
+            from .quantize import cast_rows_to
+            from .topk import xla_sims
+
             qc = jax.lax.optimization_barrier(
-                normalize_rows(q).astype(data.dtype))
-            return jnp.dot(
-                qc,
-                data.T,
-                preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST,
-            )
+                cast_rows_to(normalize_rows(q), data.dtype))
+            return xla_sims(qc, data)
 
         sims = np.asarray(
             _sims(jax.device_put(store_host, dev), jax.device_put(qp, dev))
@@ -412,11 +413,17 @@ class SearchEngine:
         return self.store.effective_matrix()
 
     def effective_queries(self, queries: np.ndarray) -> np.ndarray:
-        """Queries after the engine's normalize + store-dtype cast, as f32."""
+        """Queries after the engine's normalize + store-dtype cast, as f32
+        (int8 stores: the lattice integers, exact in f32 — pair with
+        :meth:`effective_store` through
+        :func:`..ops.quantize.int8_sims_host`)."""
+        from .quantize import cast_rows_to
+
         queries = self._prepare_queries(queries)
         qn = np.asarray(normalize_rows(jnp.asarray(queries)))
         return np.asarray(
-            jnp.asarray(qn).astype(self.store.data.dtype).astype(jnp.float32)
+            cast_rows_to(jnp.asarray(qn), self.store.data.dtype).astype(
+                jnp.float32)
         )
 
     # -- compilation -----------------------------------------------------------
@@ -459,11 +466,16 @@ class SearchEngine:
         padding in ..topk.rescore_topk), so capacity 8 stays the default.
         Low-dim huge stores keep 128-row units / 1024-row blocks
         (sub=256 measured WORSE at 10M x 256 — the bm pass slows more
-        than the smaller sources save)."""
+        than the smaller sources save).
+
+        The high/low split keys on ``dim * max(itemsize, 2)``: the
+        refine-source arrays that motivate wide subs are f32 and
+        dtype-independent, so an int8 768-d store belongs with bf16 768-d,
+        not with the byte-equivalent bf16 384-d."""
         dim = self.store.data.shape[1]
         itemsize = jnp.dtype(self.store.data.dtype).itemsize
         argmax = self.config.rescore_argmax != "off"
-        if dim * itemsize >= 1024:
+        if dim * max(itemsize, 2) >= 1024:
             return (64, 128, 4) if argmax else (16, 128, 8)
         return 128, 1024, 4
 
@@ -713,12 +725,14 @@ class SearchEngine:
             def search_fn(data, queries_cast):
                 return merge(*mapped(data, queries_cast))
         else:
+            from .quantize import cast_rows_to
+
             def search_fn(data, queries):
                 # barrier: guarantee the kernels consume materialized
                 # store-dtype query bits whatever XLA fusion decides (the
                 # oracle pins the same — see oracle_topk)
                 queries_cast = jax.lax.optimization_barrier(
-                    normalize_rows(queries).astype(store_dtype))
+                    cast_rows_to(normalize_rows(queries), store_dtype))
                 return merge(*mapped(data, queries_cast))
 
         fn = jax.jit(search_fn, in_shardings=(sharded, replicated))

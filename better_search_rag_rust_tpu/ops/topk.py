@@ -38,9 +38,30 @@ import jax.numpy as jnp
 import numpy as np
 
 #: Sentinel similarity for padded rows; any valid cosine similarity is >= -1.
+#: (int8 stores score the scaled integer dot, also within [-1-eps, 1+eps].)
 PAD_SIM = -3.0
 #: Row-block width for the hierarchical merge (TPU lane width).
 BLOCK = 128
+
+
+def xla_sims(queries_cast: jax.Array, rows: jax.Array) -> jax.Array:
+    """``[Q, RC] f32`` scores of store-dtype queries against store rows —
+    the XLA twin of :func:`.topk_pallas._sims_dot` (the oracle's
+    arithmetic). f32/bf16: HIGHEST-precision matmul with f32 accumulation.
+    int8: exact int32 dot, value-converted and scaled by the shared
+    constant — bitwise equal to every other scoring path by integer
+    exactness."""
+    if jnp.dtype(rows.dtype) == jnp.int8:
+        from .quantize import INT8_INV_SCALE2
+
+        dots = jnp.dot(
+            queries_cast, rows.T, preferred_element_type=jnp.int32
+        )
+        return dots.astype(jnp.float32) * jnp.float32(INT8_INV_SCALE2)
+    return jnp.dot(
+        queries_cast, rows.T, preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -258,10 +279,7 @@ def _dense_chunk_topk(
         sims3 = sims.reshape(t, nb, block)
     else:
         local_ids = jnp.arange(rc, dtype=jnp.int32)
-        sims = jnp.dot(
-            q_block, shard_chunk.T, preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
-        )  # [T, RC] f32
+        sims = xla_sims(q_block, shard_chunk)  # [T, RC] f32
         sims = jnp.where((local_ids < limit)[None, :], sims, PAD_SIM)
         sims3 = sims.reshape(t, nb, block)
         block_max = jnp.max(sims3, axis=2)  # [T, NB]
@@ -566,8 +584,10 @@ def rescore_topk(
             block = 8 * sub
         if not cpg:
             cpg = max(1, 128 // sub)
-        if (cpg * sub) % 128 or block % sub or sub % (
-                16 if itemsize == 2 else 8):
+        from .topk_pallas import sublane_tile_for
+
+        if (cpg * sub) % 128 or block % sub or sub % sublane_tile_for(
+                shard.dtype):
             use_pallas = False  # illegal geometry: degrade to XLA
 
     # Pad rows so the bm pass tiles evenly (small copy; masked anyway).
@@ -854,10 +874,7 @@ def rescore_topk(
 
         # ---- XLA branch (CPU tests, f32 shards) ----------------------------
         local_ids = jnp.arange(rows_pad, dtype=jnp.int32)
-        sims = jnp.dot(
-            q_block, shard.T, preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
-        )
+        sims = xla_sims(q_block, shard)
         sims = jnp.where((local_ids < total_valid)[None, :], sims, PAD_SIM)
         bm = jnp.max(sims.reshape(t, nb, block), axis=2)
         bids = select_blocks_hier(bm, t, kb)
@@ -916,10 +933,7 @@ def local_topk(
     def body(carry, xs):
         c_vals, c_ids = carry
         chunk_data, chunk_start = xs
-        sims = jnp.dot(
-            queries_cast, chunk_data.T, preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
-        )  # [Q, chunk] f32 accumulation on the MXU
+        sims = xla_sims(queries_cast, chunk_data)  # [Q, chunk] f32
         gids = base.astype(jnp.int32) + chunk_start + local_offsets
         sims = jnp.where((gids < num_rows)[None, :], sims, PAD_SIM)
         gids_b = jnp.broadcast_to(gids[None, :], sims.shape)

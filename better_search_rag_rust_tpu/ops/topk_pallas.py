@@ -36,10 +36,33 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from .quantize import INT8_INV_SCALE2
+
 #: Default row-block width for block-max (TPU lane width).
 BLOCK = 128
 #: Sentinel similarity for padded store rows (matches .topk.PAD_SIM).
 PAD_SIM = -3.0
+
+
+def _sims_dot(a: jax.Array, b: jax.Array, dims) -> jax.Array:
+    """The ONE scoring contraction every kernel body uses, f32 out.
+
+    float/bf16 operands: MXU dot with f32 accumulation (bitwise equal to
+    XLA HIGHEST for bf16, chip-verified). int8 operands: EXACT int32 MXU
+    dot, value-converted to f32 (exact below 2^24) and scaled by the
+    shared :data:`..quantize.INT8_INV_SCALE2` constant — one f32 multiply,
+    so the scaled score is bitwise identical across Mosaic/XLA/NumPy on
+    every backend (chip-verified, scripts/proto_int8.py)."""
+    if jnp.dtype(a.dtype) == jnp.int8:
+        acc = jax.lax.dot_general(
+            a, b, dimension_numbers=dims,
+            preferred_element_type=jnp.int32,
+        )
+        return acc.astype(jnp.float32) * jnp.float32(INT8_INV_SCALE2)
+    return jax.lax.dot_general(
+        a, b, dimension_numbers=dims,
+        preferred_element_type=jnp.float32,
+    )
 
 
 def _pick_row_tile(
@@ -80,11 +103,8 @@ def _pick_row_tile(
 def _make_kernel(block: int):
     def _mm_blockmax_kernel(limit_ref, q_ref, s_ref, sims_ref, bm_ref):
         """One row tile: fused MXU matmul + padding mask + VMEM block-max."""
-        sims = jax.lax.dot_general(
-            q_ref[:],
-            s_ref[:],
-            dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
+        sims = _sims_dot(
+            q_ref[:], s_ref[:], (((1,), (1,)), ((), ()))
         )  # [T, RT] f32, accumulated on the MXU
         t, rt = sims.shape
         row0 = pl.program_id(0) * rt
@@ -161,12 +181,7 @@ def _make_bm_only_kernel(block: int):
         the similarity tile DISCARDED after the reduce — no [T, R] HBM
         write at all (the 'rescore' pipeline recomputes candidate scores
         from gathered store rows instead)."""
-        sims = jax.lax.dot_general(
-            q_ref[:],
-            s_ref[:],
-            dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
+        sims = _sims_dot(q_ref[:], s_ref[:], (((1,), (1,)), ((), ())))
         t, rt = sims.shape
         row0 = pl.program_id(0) * rt
         local = row0 + jax.lax.broadcasted_iota(jnp.int32, (1, rt), 1)
@@ -306,11 +321,8 @@ def _make_bm2t_kernel(sub: int, block: int, emit_block: bool,
         extra VPU reductions hide under the MXU dot (chip-measured: no
         pass-time change), which is what makes the sims-free argmax fast
         path free to enable."""
-        sims_t = jax.lax.dot_general(
-            s_ref[:],
-            q_ref[:],
-            dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
+        sims_t = _sims_dot(
+            s_ref[:], q_ref[:], (((1,), (1,)), ((), ()))
         )  # [RT, T] f32
         rt, t = sims_t.shape
         row0 = pl.program_id(0) * rt
@@ -512,11 +524,8 @@ def _make_gather_rescore_kernel(cpg: int):
                 cat = jnp.concatenate(
                     [refs[r * cpg + u][:] for u in range(cpg)], axis=0
                 )
-            s = jax.lax.dot_general(
-                q_ref[:],
-                cat,
-                dimension_numbers=(((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
+            s = _sims_dot(
+                q_ref[:], cat, (((1,), (1,)), ((), ()))
             )  # [8, cpg*unit]
             o_ref[r, :] = s[r, :]
 
@@ -550,9 +559,10 @@ def gather_rescore(
 
     Constraints: ``T % 8 == 0``; ``KS % cpg == 0``; ``(cpg * unit) % 128
     == 0`` (output lane width); ``R % unit == 0``; every id in
-    ``[0, R/unit)``. For bf16 shards ``unit`` must be a multiple of 16
-    (the sublane tile). Scores are bitwise equal to the streaming
-    matmul's (same Mosaic dot pattern as :func:`block_scores`)."""
+    ``[0, R/unit)``. ``unit`` must be a multiple of the shard dtype's
+    sublane tile (:func:`sublane_tile_for`: 16 for bf16, 32 for int8).
+    Scores are bitwise equal to the streaming matmul's (same Mosaic dot
+    pattern as :func:`block_scores`)."""
     t, d = queries.shape
     r, d2 = shard.shape
     t2, ks = ids.shape
@@ -627,11 +637,8 @@ def _score_kernel(q_ref, g_ref, o_ref):
     (Mosaic rejects sub-8 sublane blocks and batched dot_general, hence
     this 8-way unrolled form.)"""
     for r in range(8):
-        s = jax.lax.dot_general(
-            q_ref[:],
-            g_ref[r],
-            dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
+        s = _sims_dot(
+            q_ref[:], g_ref[r], (((1,), (1,)), ((), ()))
         )  # [8, ctile]; only row r corresponds to query r's candidates
         o_ref[r, :] = s[r, :]
 
@@ -685,15 +692,27 @@ def pallas_scoring_exact_for(dtype) -> bool:
     """Whether the Mosaic matmul path reproduces the oracle's scores
     bit-for-bit for this operand dtype on the current backend.
 
+    int8: yes EVERYWHERE — the int32 dot is exact integer arithmetic, so
+    the scaled f32 score is order- and backend-independent (chip-verified,
+    scripts/proto_int8.py); this identity needs no hardware proof at all.
     bf16: yes (verified on hardware — all sims-path kernels matched the
     oracle across the chip exactness sweep). f32 on a REAL TPU: no — the
     Mosaic default lowers to a single bf16 pass (max abs error ~3e-1 vs
     XLA HIGHEST on [64,768]x[768,1024]!), and precision=HIGHEST still
     differs by ~2e-5, so f32 shards must route to the XLA kernels.
     Interpret mode (tests) computes exact f32 math and is fine."""
+    if jnp.dtype(dtype) == jnp.int8:
+        return True
     if jax.default_backend() != "tpu":
         return True
     return jnp.dtype(dtype) == jnp.bfloat16
+
+
+def sublane_tile_for(dtype) -> int:
+    """Mosaic's sublane tile for an operand dtype: 8 rows at 4 bytes,
+    16 at 2, 32 at 1 — store-row block heights (gather units, row tiles)
+    must be multiples of this."""
+    return 32 // jnp.dtype(dtype).itemsize
 
 
 def default_interpret() -> bool:

@@ -60,11 +60,14 @@ def _choose_chunk(per_device_target: int, chunk_rows: int) -> int:
 
 @partial(jax.jit, static_argnames=("dtype",), donate_argnums=(0,))
 def _normalize_cast(x: jax.Array, dtype: str) -> jax.Array:
-    """Row-wise L2 normalize in f32 with zero-guard, then cast."""
+    """Row-wise L2 normalize in f32 with zero-guard, then cast (int8:
+    symmetric lattice quantization, :mod:`..ops.quantize`)."""
+    from ..ops.quantize import cast_rows_to
+
     x = x.astype(jnp.float32)
     norms = jnp.sqrt(jnp.sum(x * x, axis=-1, keepdims=True))
     x = x / jnp.where(norms == 0.0, 1.0, norms)
-    return x.astype(dtype)
+    return cast_rows_to(x, dtype)
 
 
 @dataclass
@@ -192,8 +195,10 @@ class DeviceStore:
                 rows = read_matrix_slice(path, start, valid)[:, :d]
                 norms = np.linalg.norm(rows, axis=1, keepdims=True)
                 block[:valid, :d] = rows / np.where(norms == 0.0, 1.0, norms)
+            from ..ops.quantize import cast_rows_to_host
+
             buffers.append(
-                jax.device_put(block.astype(jnp.dtype(dtype)), dev)
+                jax.device_put(cast_rows_to_host(block, dtype), dev)
             )
         arr = jax.make_array_from_single_device_arrays(
             (padded_rows, padded_dim), sharding, buffers
@@ -211,6 +216,13 @@ class DeviceStore:
     def effective_matrix(self) -> np.ndarray:
         """The valid rows as host float32, **after** normalization and dtype
         rounding — i.e. exactly what the engine scores against. This is the
-        "serial scan at equal memory" oracle input (BASELINE.json)."""
+        "serial scan at equal memory" oracle input (BASELINE.json).
+
+        For int8 stores the returned values are the LATTICE INTEGERS
+        (exact in f32); the engine's score of such rows is the scaled
+        integer dot (:func:`..ops.quantize.int8_sims_host`), so oracles
+        over int8 stores must pass explicit ``sims`` to ``serial_topk``
+        (which :meth:`..ops.engine.SearchEngine.oracle_topk` does) rather
+        than re-normalizing these rows in f32."""
         host = np.asarray(jax.device_get(self.data), dtype=np.float32)
         return host[: self.num_rows, : self.dim]

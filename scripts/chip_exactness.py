@@ -60,7 +60,7 @@ def main() -> int:
             "pallas", "global", "rescore", "rescore-noarg", "blockmax",
             "scan",
         )
-        for dtype in ("bfloat16", "float32"):
+        for dtype in ("bfloat16", "float32", "int8"):
             store = DeviceStore.from_host(mat, mesh, dtype=dtype)
             # "rescore" default = argmax fast path (mixed bm/gather scores,
             # sound only because Mosaic bf16 dots are bitwise identical —
@@ -99,7 +99,7 @@ def main() -> int:
                               flush=True)
                     else:
                         print(f"pass  {tag}", flush=True)
-            if dtype == "bfloat16":
+            if dtype in ("bfloat16", "int8"):
                 # Precast path: host-rounded store-dtype query upload
                 # (search_stream upload="store") vs the oracle fed the SAME
                 # bits — proves the precast compiled program on hardware.
