@@ -735,7 +735,9 @@ def rescore_topk(
             if (cpg_d * sub) % 128:
                 cpg_d = max(1, 128 // sub)
             gd = max(cpg_d, _round_up(min(danger_units, ks), cpg_d))
-            af = argmax_fast and ks >= k and gd <= ks
+            # sub > 128 cannot pack its sub-local argmax into the key's
+            # 7 bits (pack_m2_argmax_key); take the full-gather path.
+            af = argmax_fast and ks >= k and gd <= ks and sub <= 128
             rt = pick_bm2_row_tile(rows_pad, d, t, sub, block, itemsize,
                                    extra_outs=1 if af else 0)
             # Fused coarse maxima at the widest Mosaic-legal emit width
@@ -822,7 +824,7 @@ def rescore_topk(
             key_sel = jnp.take_along_axis(
                 key_t.T, uids, axis=1, mode="promise_in_bounds"
             )                                                     # [T, ks]
-            arg_sel = key_sel & 0xFFFF
+            arg_sel = key_sel & 0x7F
             w = jax.lax.dynamic_slice_in_dim(vals, k - 1, 1, axis=1)
             w_key = m2_sort_key(w)
             a_gids = jnp.where(

@@ -278,22 +278,27 @@ def m2_sort_key(x: jax.Array) -> jax.Array:
 def pack_m2_argmax_key(m2: jax.Array, arg: jax.Array) -> jax.Array:
     """Pack a unit's second max and argmax row into ONE int32 key.
 
-    Layout: ``m2``'s monotone uint image rounded UP to the next 64Ki
-    boundary in the high 16 bits, ``arg`` (< 2^16) in the low 16.
-    Guarantees, with ``K(x) = m2_sort_key(x)`` the exact key:
+    Layout: ``m2``'s monotone uint image rounded UP to the next 128
+    boundary in the high 25 bits, ``arg`` in the low 7. The argmax is
+    SUB-LOCAL (``arg < sub <= 128``), so 7 bits always suffice — round 7
+    reclaimed the 9 bits the original 16-bit layout wasted on it, which
+    shrinks the conservative rounding window 512x (2^17 -> 2^8 ulps,
+    ~1e-3 -> ~2e-6 in sim units near a 1M x 768 selection boundary) and
+    with it the spurious-danger rate of the argmax fast path. Guarantees,
+    with ``K(x) = m2_sort_key(x)`` the exact key:
 
     * conservative: ``packed >= K(m2)`` — so ``m2 >= w`` implies
       ``packed >= K(w)`` (the danger test never misses a unit), and
       selecting the top ``gd`` units BY packed key covers every unit
       with ``packed >= K(w)`` whenever their count is within ``gd``;
-    * tight: ``packed < K(m2) + 2^17`` (over-rounding admits only
+    * tight: ``packed < K(m2) + 2^8`` (over-rounding admits only
       spurious danger units within 2 buckets of ``w``, never a miss);
-    * exact recovery: ``packed & 0xFFFF == arg`` (the rounded image's
-      low 16 bits are zero; XOR of the sign bit never touches them).
+    * exact recovery: ``packed & 0x7F == arg`` (the rounded image's
+      low 7 bits are zero; XOR of the sign bit never touches them).
     """
     b = jax.lax.bitcast_convert_type(m2 + 0.0, jnp.uint32)
     mono = jnp.where(m2 < 0, ~b, b | jnp.uint32(0x80000000))
-    key_u = ((mono + jnp.uint32(0xFFFF)) & jnp.uint32(0xFFFF0000)) | (
+    key_u = ((mono + jnp.uint32(0x7F)) & jnp.uint32(0xFFFFFF80)) | (
         arg.astype(jnp.uint32))
     return jax.lax.bitcast_convert_type(
         key_u ^ jnp.uint32(0x80000000), jnp.int32)
@@ -315,8 +320,8 @@ def _make_bm2t_kernel(sub: int, block: int, emit_block: bool,
         the argmax row — equal to the max when the unit holds a duplicate
         maximum) PACKED into one int32 sort key
         (:func:`pack_m2_argmax_key`): m2's order-preserving uint image
-        rounded UP to a 64Ki boundary in the high 16 bits, the argmax in
-        the low 16. One [RT/sub, T] output instead of two halves the
+        rounded UP to a 128 boundary in the high 25 bits, the sub-local
+        argmax in the low 7. One [RT/sub, T] output instead of two halves the
         refine-source traffic the host-side fast path must rescan. The
         extra VPU reductions hide under the MXU dot (chip-measured: no
         pass-time change), which is what makes the sims-free argmax fast
@@ -456,6 +461,11 @@ def matmul_blockmax2_only(
         raise ValueError(f"dim mismatch {d} vs {d2}")
     if block % sub:
         raise ValueError(f"sub {sub} must divide block {block}")
+    if emit_argmax and sub > 128:
+        raise ValueError(
+            f"emit_argmax packs the sub-local argmax into 7 bits; sub"
+            f" {sub} > 128 does not fit (pack_m2_argmax_key)"
+        )
     rt = pick_bm2_row_tile(r, d, t, sub, block,
                            jnp.dtype(shard.dtype).itemsize,
                            extra_outs=1 if emit_argmax else 0)
