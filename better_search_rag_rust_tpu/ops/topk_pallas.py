@@ -304,6 +304,66 @@ def pack_m2_argmax_key(m2: jax.Array, arg: jax.Array) -> jax.Array:
         key_u ^ jnp.uint32(0x80000000), jnp.int32)
 
 
+def int8_packed_emission_ok(sub: int, dim: int) -> bool:
+    """Whether the integer-domain packed emission applies: int8 scoring
+    with a power-of-2 ``sub`` and the packed key ``acc * 128 + (127 -
+    idx)`` free of int32 overflow (``|acc| <= 127^2 * dim``)."""
+    return (sub & (sub - 1)) == 0 and 127 * 127 * dim * 128 + 127 < 2**31
+
+
+#: Integer pad for the packed int8 emission: below any attainable int8
+#: dot (|acc| <= 127^2 * 1040 under :func:`int8_packed_emission_ok`) and
+#: ``* 128`` still in int32 range.
+_PAD_ACC = -(1 << 24)
+
+
+def _int8_bm2_emit(acc3: jax.Array, sub: int):
+    """(bms, packed key) from EXACT int32 dots ``acc3 [ru, sub, t]``.
+
+    The float emission costs ~3 sublane reduces + ~6 full-size selects —
+    VPU work that hides under the bf16 dot but is EXPOSED at int8 MXU
+    speed (chip-measured: 2.10 -> 2.56 ms per [512, 1M x 768] tile,
+    8.0 -> 14.2 at 10M x 256). Integer scores collapse it: pack
+    ``key = acc * 128 + (127 - idx)`` — monotone in (acc desc, idx asc),
+    exactly invertible (``key >> 7 = acc``, ``127 - (key & 0x7F) =
+    idx``) — then TWO native sublane max-reduces get max, lowest
+    attaining index, and the max excluding that row: packed keys are
+    unique within a unit, so masking the argmax ELEMENT by value
+    equality is masking the argmax ROW. Two reduces + 4 elementwise
+    passes replace the float path's three reduces + ~6 passes + iota.
+
+    The scaled f32 outputs are recovered on the 128x-smaller [ru, t]
+    results: ``f32(int) * INT8_INV_SCALE2`` is monotone, so
+    ``max(f32(a_i) * s) == f32(max a_i) * s`` bitwise — the emitted bms
+    match the float path's exactly. Where two DISTINCT int dots round to
+    the same scaled f32 (possible only above ~2^23), the argmax may name
+    a different row of the same scaled value than the float path; the
+    danger rescue covers the tie (m2 equals the max there), so the final
+    top-k is unchanged — exactness is over scaled scores, tie-broken by
+    row id, and both rows enter the final sort.
+    """
+    ru, _, t = acc3.shape
+    rev = 127 - jax.lax.broadcasted_iota(jnp.int32, (ru, sub, t), 1)
+    key = acc3 * 128 + rev
+    # Packed keys are UNIQUE within a unit (distinct idx bits), so the
+    # argmax element can be masked by VALUE equality and both reductions
+    # go through Mosaic's native sublane reduce — an explicit pairwise
+    # tournament tree needs strided sublane slices (relayouts) at every
+    # level and chip-measured barely faster than the float path.
+    k1 = jnp.max(key, axis=1)
+    m2k = jnp.max(
+        jnp.where(key == k1[:, None, :], jnp.int32(-(2**31)), key), axis=1)
+    m1i = k1 >> 7                      # exact: floor((acc*128 + r)/128)
+    arg = 127 - (k1 & 0x7F)
+    m2i = m2k >> 7                     # idx bits of the runner-up discarded
+    scale = jnp.float32(INT8_INV_SCALE2)
+    bms = jnp.where(m1i == _PAD_ACC, PAD_SIM,
+                    m1i.astype(jnp.float32) * scale)
+    m2f = jnp.where(m2i == _PAD_ACC, PAD_SIM,
+                    m2i.astype(jnp.float32) * scale)
+    return bms, pack_m2_argmax_key(m2f, arg)
+
+
 def _make_bm2t_kernel(sub: int, block: int, emit_block: bool,
                       emit_argmax: bool = False, emit_width: int = 0):
     def _kernel(limit_ref, q_ref, s_ref, *out_refs):
@@ -323,9 +383,28 @@ def _make_bm2t_kernel(sub: int, block: int, emit_block: bool,
         rounded UP to a 128 boundary in the high 25 bits, the sub-local
         argmax in the low 7. One [RT/sub, T] output instead of two halves the
         refine-source traffic the host-side fast path must rescan. The
-        extra VPU reductions hide under the MXU dot (chip-measured: no
-        pass-time change), which is what makes the sims-free argmax fast
-        path free to enable."""
+        extra VPU reductions hide under the MXU dot at bf16 (chip-measured:
+        no pass-time change) but are EXPOSED at int8's 2x MXU rate — int8
+        argmax emission takes the integer-domain packed tournament
+        (:func:`_int8_bm2_emit`) instead."""
+        if emit_argmax and jnp.dtype(s_ref.dtype) == jnp.int8 \
+                and int8_packed_emission_ok(sub, s_ref.shape[1]):
+            acc = jax.lax.dot_general(
+                s_ref[:], q_ref[:], (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            )  # [RT, T] exact integer dots
+            rt, t = acc.shape
+            row0 = pl.program_id(0) * rt
+            local = row0 + jax.lax.broadcasted_iota(jnp.int32, (rt, 1), 0)
+            acc = jnp.where(local < limit_ref[0], acc, _PAD_ACC)
+            bms, key = _int8_bm2_emit(acc.reshape(rt // sub, sub, t), sub)
+            out_refs[0][:] = bms
+            out_refs[1][:] = key
+            if emit_block:
+                ew = emit_width or block
+                out_refs[2][:] = jnp.max(
+                    bms.reshape(rt // ew, ew // sub, t), axis=1)
+            return
         sims_t = _sims_dot(
             s_ref[:], q_ref[:], (((1,), (1,)), ((), ()))
         )  # [RT, T] f32

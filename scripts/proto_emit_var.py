@@ -120,8 +120,10 @@ def make_kernel(mode):
 def make_tkernel(mode):
     """Transposed orientation: acc = q . s^T -> [t, rt]; a SUB-row unit
     is 128 consecutive LANES, so unit reduces are native lane reduces and
-    the k1 broadcast is a native lane splat. Outputs are emitted in the
-    [T, R/sub] orientation the host tail consumes (no .T downstream)."""
+    the k1 broadcast is a native lane splat. The 128x-smaller emission
+    arrays are transposed in-kernel back to the production [R/sub, T]
+    layout (whose (RT/sub, Q) blocks are Mosaic-legal; the natural
+    (Q, RT/sub) blocks are NOT — last dim 16 < 128)."""
 
     def _kernel(limit_ref, q_ref, s_ref, key_out, bms_out, bmi_out):
         acc = jax.lax.dot_general(
@@ -136,9 +138,9 @@ def make_tkernel(mode):
         rev = 127 - jax.lax.broadcasted_iota(
             jnp.int32, (t, rt // SUB, SUB), 2)
         key = a3 * 128 + rev
-        k1 = jnp.max(key, axis=2)
-        if mode == "noarg":
-            key_out[:] = k1
+        k1 = jnp.max(key, axis=2)  # [t, ru] — native lane reduce
+        if mode == "k1only":
+            key_out[:] = k1.T
         else:
             m2k = jnp.max(
                 jnp.where(key == k1[:, :, None], jnp.int32(-(2**31)), key),
@@ -148,13 +150,13 @@ def make_tkernel(mode):
             m2f = jnp.where(m2i == _PAD_ACC, PAD_SIM,
                             m2i.astype(jnp.float32) * jnp.float32(
                                 INT8_INV_SCALE2))
-            key_out[:] = pack_m2_argmax_key(m2f, arg)
+            key_out[:] = pack_m2_argmax_key(m2f, arg).T
         m1i = k1 >> 7
         bms = jnp.where(m1i == _PAD_ACC, PAD_SIM,
                         m1i.astype(jnp.float32) * jnp.float32(
                             INT8_INV_SCALE2))
-        bms_out[:] = bms
-        bmi_out[:] = jnp.max(bms.reshape(t, rt // EW, EW // SUB), axis=2)
+        bms_out[:] = bms.T
+        bmi_out[:] = jnp.max(bms.reshape(t, rt // EW, EW // SUB), axis=2).T
 
     return _kernel
 
@@ -172,11 +174,11 @@ def run_tvariant(mode):
                              memory_space=pltpu.VMEM),
             ],
             out_specs=[
-                pl.BlockSpec((Q, RT // SUB), lambda i, *_: (0, i),
+                pl.BlockSpec((RT // SUB, Q), lambda i, *_: (i, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((Q, RT // SUB), lambda i, *_: (0, i),
+                pl.BlockSpec((RT // SUB, Q), lambda i, *_: (i, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((Q, RT // EW), lambda i, *_: (0, i),
+                pl.BlockSpec((RT // EW, Q), lambda i, *_: (i, 0),
                              memory_space=pltpu.VMEM),
             ],
         )
@@ -184,9 +186,9 @@ def run_tvariant(mode):
             make_tkernel(mode),
             grid_spec=grid_spec,
             out_shape=[
-                jax.ShapeDtypeStruct((Q, R // SUB), jnp.int32),
-                jax.ShapeDtypeStruct((Q, R // SUB), jnp.float32),
-                jax.ShapeDtypeStruct((Q, R // EW), jnp.float32),
+                jax.ShapeDtypeStruct((R // SUB, Q), jnp.int32),
+                jax.ShapeDtypeStruct((R // SUB, Q), jnp.float32),
+                jax.ShapeDtypeStruct((R // EW, Q), jnp.float32),
             ],
             cost_estimate=pl.CostEstimate(
                 flops=2 * Q * D * R,
@@ -260,13 +262,13 @@ def main():
 
     cells = [("v0_noarg", jax.jit(bmno)),
              ("v2_masked", run_variant("masked")),
-             ("v5t_noarg", run_tvariant("noarg")),
-             ("v5t_masked", run_tvariant("masked"))]
+             ("v4t_k1only", run_tvariant("k1only")),
+             ("v4t_masked", run_tvariant("masked"))]
     ref_out = cells[1][1](q8, store8)
     new_out = cells[3][1](q8, store8)
     for a, b, nm in zip(ref_out, new_out, ("key", "bms", "bmi")):
-        same = bool(jnp.all(a == b.T))
-        print(f"v5t identical to v2 [{nm}]: {same}", flush=True)
+        same = bool(jnp.all(a == b))
+        print(f"v4t identical to v2 [{nm}]: {same}", flush=True)
     for nm, fn in cells:
         _force(fn(q8, store8))
         print(f"{nm}: compiled", flush=True)

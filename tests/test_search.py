@@ -633,6 +633,68 @@ def test_bm2_argmax_emission_interpret():
     assert np.all(key1_k.astype(np.int64) < exact + (1 << 8))
 
 
+def test_bm2_int8_packed_emission_interpret():
+    """int8 argmax emission takes the integer-domain packed tournament
+    (topk_pallas._int8_bm2_emit): scores are EXACT int32 dots, so the
+    oracle is exact too — argmax must be the lowest index attaining the
+    integer max on every unit (tie-heavy data included), bms must equal
+    f32(int max) * INT8_INV_SCALE2 bitwise, and the packed key must hold
+    the exact-m2 bracket [exact key, exact + 2^8) bit-for-bit."""
+    import jax.numpy as jnp
+    from better_search_rag_rust_tpu.ops.quantize import (
+        INT8_INV_SCALE2, quantize_unit_host,
+    )
+    from better_search_rag_rust_tpu.ops.topk_pallas import (
+        PAD_SIM, m2_sort_key, matmul_blockmax2_only,
+    )
+
+    rng = np.random.default_rng(95)
+    R, D, T, sub, block = 1024, 64, 16, 16, 128
+    mat = rng.standard_normal((R, D)).astype(np.float32)
+    mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+    mat8 = quantize_unit_host(mat)
+    mat8[32:40] = mat8[16]     # same-unit + cross-unit duplicates
+    mat8[100] = mat8[101]      # in-unit duplicate pair (tied max)
+    mat8[200:216] = mat8[200]  # a whole unit of one duplicated row
+    qs = rng.standard_normal((T, D)).astype(np.float32)
+    qs /= np.linalg.norm(qs, axis=1, keepdims=True)
+    qs8 = quantize_unit_host(qs)
+    valid = 1000               # partial unit 62, fully padded unit 63
+
+    bms, key, bm = matmul_blockmax2_only(
+        jnp.asarray(qs8), jnp.asarray(mat8), jnp.int32(valid),
+        interpret=True, sub=sub, block=block, emit_block=True,
+        emit_argmax=True,
+    )
+    acc = qs8.astype(np.int32) @ mat8.astype(np.int32).T   # exact oracle
+    acc[:, valid:] = -(1 << 24)
+    a3 = acc.reshape(T, R // sub, sub)
+    m1 = a3.max(axis=2)
+    arg_ref = a3.argmax(axis=2)                            # lowest index
+    bms_ref = np.where(
+        m1 == -(1 << 24), PAD_SIM,
+        m1.astype(np.float32) * np.float32(INT8_INV_SCALE2))
+    np.testing.assert_array_equal(np.asarray(bms).T, bms_ref)
+    key_k = np.asarray(key).T
+    np.testing.assert_array_equal(key_k & 0x7F, arg_ref)
+    # exact integer m2 (max excluding the argmax ROW; equals the max for
+    # duplicate maxima) -> scaled f32 -> exact packed-key bracket
+    masked = np.where(
+        np.arange(sub)[None, None, :] == arg_ref[:, :, None],
+        -(1 << 24), a3)
+    m2i = masked.max(axis=2)
+    m2f = np.where(
+        m2i == -(1 << 24), PAD_SIM,
+        m2i.astype(np.float32) * np.float32(INT8_INV_SCALE2))
+    exact = np.asarray(m2_sort_key(jnp.asarray(m2f))).astype(np.int64)
+    assert np.all(key_k.astype(np.int64) >= exact)
+    assert np.all(key_k.astype(np.int64) < exact + (1 << 8))
+    # fused coarse maxima reduce from the packed-path bms
+    np.testing.assert_array_equal(
+        np.asarray(bm).T,
+        bms_ref.reshape(T, R // block, block // sub).max(axis=2))
+
+
 def _decode_key_m2(key: np.ndarray) -> np.ndarray:
     """Upper bound on the packed key's m2: invert the monotone uint
     transform of the key's high 25 bits (arg cleared)."""
