@@ -10,6 +10,10 @@ the numbers BASELINE.json asks for:
 * ``search_1m``         — headline: 1M x 768, 1024-query batch, top-100,
                           bf16 scoring with f32 accumulation
 * ``search_10m_mat256`` — 10M vectors, Matryoshka 256-d truncation
+* ``search_1m_int8`` / ``search_10m_int8_mat256`` — the same stores on the
+                          int8 lattice (exact integer scoring, 2x MXU rate)
+* ``search_10m_int8``   — 10M x FULL 768-d on one chip (7.7 GB resident;
+                          a scale bf16 cannot fit)
 * ``pipeline``          — synthetic-corpus ingest throughput (hash encoder)
 * ``encode``            — nomic forward throughput (random init), files/sec
 
@@ -31,6 +35,7 @@ from __future__ import annotations
 
 import time
 from dataclasses import dataclass
+from functools import partial
 from typing import Callable, Dict, Optional
 
 import numpy as np
@@ -89,13 +94,30 @@ SUITES: Dict[str, SearchSuite] = {
         rows=10_000_000, dim=256, queries=1024, top_k=100,
         matryoshka_dim=256, iters=4, chunk_rows=65536, store_dtype="int8",
     ),
+    # Full-dimension 10M store — a scale ONLY the int8 lattice fits on one
+    # v5e chip (7.7 GB resident; bf16 would need 15.4 GB plus working set).
+    "search_10m_int8": SearchSuite(
+        rows=10_000_000, dim=768, queries=1024, top_k=100,
+        iters=4, chunk_rows=65536, store_dtype="int8",
+    ),
 }
 
 
 def synthetic_device_store(mesh, rows: int, dim: int, dtype: str,
-                           chunk_rows: int, seed: int = 0):
+                           chunk_rows: int, seed: int = 0,
+                           gen_f32_budget: int = 11 * 2**30):
     """Build a random normalized store directly in device memory — the bench
-    analogue of :meth:`DeviceStore.from_host` without the host round-trip."""
+    analogue of :meth:`DeviceStore.from_host` without the host round-trip.
+
+    When the one-shot f32 working set (``padded_rows x padded_dim x 4``
+    bytes — the normal/normalize intermediate XLA must materialize around
+    the row-norm reduction) exceeds ``gen_f32_budget``, generation switches
+    to a chunked fill: a donated store-dtype buffer is populated slice by
+    slice, so only one small f32 chunk is ever live next to the store. This
+    is what makes stores above half of HBM buildable at all — e.g. the
+    ``search_10m_int8`` suite's 10M x 768 int8 store (7.7 GB resident) whose
+    f32 intermediate would be 30.8 GB. Slices never cross device-shard
+    boundaries, so the fill is local to each shard (no collectives)."""
     import jax
     import jax.numpy as jnp
     from jax.sharding import NamedSharding, PartitionSpec as P
@@ -112,18 +134,64 @@ def synthetic_device_store(mesh, rows: int, dim: int, dtype: str,
 
     from ..ops.quantize import cast_rows_to
 
-    @jax.jit
-    def gen(key):
-        x = jax.random.normal(key, (padded_rows, padded_dim), dtype=jnp.float32)
+    def norm_cast(x):
         # zero the dim padding, normalize, cast (int8: lattice quantize)
         col = jnp.arange(padded_dim) < dim
         x = jnp.where(col[None, :], x, 0.0)
         norms = jnp.sqrt(jnp.sum(x * x, axis=-1, keepdims=True))
         x = x / jnp.where(norms == 0.0, 1.0, norms)
-        return jax.lax.with_sharding_constraint(cast_rows_to(x, dtype),
-                                                sharding)
+        return cast_rows_to(x, dtype)
 
-    data = gen(jax.random.PRNGKey(seed))
+    key0 = jax.random.PRNGKey(seed)
+    if padded_rows * padded_dim * 4 <= gen_f32_budget:
+
+        @jax.jit
+        def gen(key):
+            x = jax.random.normal(
+                key, (padded_rows, padded_dim), dtype=jnp.float32
+            )
+            return jax.lax.with_sharding_constraint(norm_cast(x), sharding)
+
+        data = gen(key0)
+    else:
+        store_dtype = cast_rows_to(jnp.zeros((1, 1), jnp.float32), dtype).dtype
+        data = jax.jit(
+            lambda: jnp.zeros((padded_rows, padded_dim), store_dtype),
+            out_shardings=sharding,
+        )()
+        # Per-shard-local slices: fill_rows rows of f32 at a time (~<=1.5 GB),
+        # never spanning a shard boundary.
+        fill_rows = max(chunk, (gen_f32_budget // 8) // (padded_dim * 4))
+        fill_rows -= fill_rows % chunk
+
+        fill_fns: Dict[int, Callable] = {}
+
+        def fill_for(n_fill: int):
+            if n_fill not in fill_fns:
+
+                @partial(jax.jit, donate_argnums=(0,))
+                def fill(buf, key, start):
+                    x = jax.random.normal(
+                        key, (n_fill, padded_dim), dtype=jnp.float32
+                    )
+                    return jax.lax.dynamic_update_slice(
+                        buf, norm_cast(x), (start, 0)
+                    )
+
+                fill_fns[n_fill] = fill
+            return fill_fns[n_fill]
+
+        i = 0
+        for d in range(n_shards):
+            off = 0
+            while off < per_dev:
+                n_fill = min(fill_rows, per_dev - off)
+                data = fill_for(n_fill)(
+                    data, jax.random.fold_in(key0, i),
+                    jnp.int32(d * per_dev + off),
+                )
+                off += n_fill
+                i += 1
     jax.block_until_ready(data)
     return DeviceStore(
         data=data, mesh=mesh, num_rows=rows, dim=dim,

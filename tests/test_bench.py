@@ -112,3 +112,45 @@ def test_encode_suite_smoke():
     assert out["metric"] == "encode_files_per_sec"
     assert out["value"] > 0
     assert out["batch"] == 4
+
+
+@pytest.mark.parametrize("store_dtype", ["bfloat16", "int8"])
+def test_synthetic_store_chunked_fill_matches_oracle(store_dtype):
+    """A tiny gen_f32_budget forces the chunked fill path (the one the
+    >half-HBM suites like search_10m_int8 take); the store it builds must
+    be exactly searchable (engine == serial oracle) and its rows must be
+    unit-normalized in the store dtype's lattice."""
+    import jax
+    import numpy as np
+
+    from better_search_rag_rust_tpu.bench.suite import synthetic_device_store
+    from better_search_rag_rust_tpu.config import SearchConfig
+    from better_search_rag_rust_tpu.metrics.quality import top_k_overlap
+    from better_search_rag_rust_tpu.ops.engine import SearchEngine
+    from better_search_rag_rust_tpu.parallel.mesh import create_mesh
+
+    mesh = create_mesh()
+    rows, dim = 700, 48
+    store = synthetic_device_store(
+        mesh, rows, dim, store_dtype, chunk_rows=64, gen_f32_budget=1
+    )
+    assert store.num_rows == rows and store.dim == dim
+    host = np.asarray(jax.device_get(store.data), dtype=np.float32)
+    norms = np.linalg.norm(host[:rows, :dim], axis=1)
+    if store_dtype == "int8":
+        assert np.all(np.abs(host) <= 127)
+        # quantized unit rows: |row|/127 within the lattice error band
+        assert np.all(np.abs(norms / 127.0 - 1.0) < 0.05)
+    else:
+        assert np.all(np.abs(norms - 1.0) < 0.02)
+    assert np.all(host[:, dim:] == 0.0)
+
+    engine = SearchEngine(
+        store, SearchConfig(top_k=10, store_dtype=store_dtype)
+    )
+    queries = host[:rows: rows // 16, :dim].copy()
+    ids, _ = engine.search(queries, k=10)
+    o_ids, _ = engine.oracle_topk(queries, k=10)
+    assert top_k_overlap(ids, o_ids, k=10) == 1.0
+    # self-retrieval: each query row must rank itself first
+    assert np.array_equal(ids[:, 0], np.arange(0, rows, rows // 16)[: len(ids)])
