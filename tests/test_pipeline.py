@@ -488,3 +488,33 @@ def test_pipeline_local_encode_mesh(corpus_dir, tmp_path):
     emb = hash_pipe.encoder.get_embeddings(["class A {}", "class B {}"])
     assert emb.shape == (2, 96)
     assert "dp_devices" not in hash_pipe.encoder.numerics
+
+
+def test_planner_routes_full_dim_10m_int8_to_argmax_rescore():
+    """The search_10m_int8 suite shape (10M x 768 int8 — only fittable on
+    one chip via the int8 lattice) must auto-resolve to the sims-free
+    rescore kernel with the high-dim argmax geometry (sub=64 units), not
+    the dense sims path whose 2*Q*R*4 traffic would be ~80 GB/batch."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from better_search_rag_rust_tpu.config import SearchConfig
+    from better_search_rag_rust_tpu.ops.engine import SearchEngine
+    from better_search_rag_rust_tpu.parallel.mesh import create_mesh
+    from better_search_rag_rust_tpu.store.device_store import DeviceStore
+
+    import jax
+
+    mesh = create_mesh(shape=(1,), axis_names=("data",),
+                       devices=jax.devices()[:1])
+    # Planner-only probe: tiny data array, honest shape metadata.
+    data = jnp.zeros((128, 768), dtype=jnp.int8)
+    store = DeviceStore(
+        data=data, mesh=mesh, num_rows=10_000_000, dim=768,
+        per_device_rows=10_027_008, chunk=65536,
+    )
+    eng = SearchEngine(store, SearchConfig(top_k=100, store_dtype="int8"))
+    assert eng.kernel_name(100) == "rescore"
+    assert eng.config.rescore_argmax != "off"
+    sub, block, cpg = eng._rescore_geometry(100)
+    assert (sub, block) == (64, 128)
