@@ -222,7 +222,8 @@ def _finetune(args) -> int:
     return 0
 
 
-def serve_loop(pipeline, in_stream, out_stream, k=None, depth: int = 1) -> int:
+def serve_loop(pipeline, in_stream, out_stream, k=None, depth: int = 1,
+               batcher=None) -> int:
     """Drive :meth:`Pipeline.serve` over line-delimited JSON streams.
 
     One request object per input line, one response object per output line,
@@ -278,13 +279,14 @@ def serve_loop(pipeline, in_stream, out_stream, k=None, depth: int = 1) -> int:
             except json.JSONDecodeError as exc:
                 yield MalformedRequest(str(exc))
 
-    for resp in pipeline.serve(_requests(), k=k, depth=depth):
+    for resp in pipeline.serve(_requests(), k=k, depth=depth, batcher=batcher):
         out_stream.write(json.dumps(resp) + "\n")
         out_stream.flush()
     return 0
 
 
-def make_tcp_server(pipeline, host: str, port: int, k=None, depth: int = 1):
+def make_tcp_server(pipeline, host: str, port: int, k=None, depth: int = 1,
+                    batcher=None):
     """A threading JSONL-over-TCP server: each connection speaks the same
     one-request-per-line protocol as the stdio loop. Connections are handled
     concurrently (JAX dispatch is thread-safe; concurrent streams simply
@@ -304,7 +306,8 @@ def make_tcp_server(pipeline, host: str, port: int, k=None, depth: int = 1):
                 self.wfile, encoding="utf-8", write_through=True
             )
             try:
-                serve_loop(pipeline, rin, wout, k=k, depth=depth)
+                serve_loop(pipeline, rin, wout, k=k, depth=depth,
+                           batcher=batcher)
             except (BrokenPipeError, ConnectionResetError):
                 pass  # client went away mid-stream; nothing to answer
 
@@ -326,10 +329,21 @@ def _serve(args) -> int:
         if args.port is not None
         else "one JSON request per line on stdin"
     )
+    batcher = None
+    if args.serve_window_ms > 0:
+        from .batcher import DynamicBatcher
+
+        batcher = DynamicBatcher(
+            engine, k=args.top_k, max_batch=args.serve_max_batch,
+            window_ms=args.serve_window_ms,
+            upload=cfg.search.query_upload,
+        )
     print(
         f"serving {engine.store.num_rows} rows "
         f"(top_k={args.top_k}, kernel={engine.kernel_name()}, "
-        f"depth={args.serve_depth}); {where}",
+        f"depth={args.serve_depth}"
+        + (f", batch window {args.serve_window_ms} ms" if batcher else "")
+        + f"); {where}",
         file=sys.stderr,
         flush=True,
     )
@@ -337,24 +351,30 @@ def _serve(args) -> int:
         sys.stdin.reconfigure(errors="replace")
     except (AttributeError, ValueError):  # pragma: no cover — exotic stdin
         pass
-    if args.port is not None:
-        with make_tcp_server(
-            pipeline, args.host, args.port, k=args.top_k, depth=args.serve_depth
-        ) as server:
-            print(
-                f"listening on {server.server_address[0]}:"
-                f"{server.server_address[1]}",
-                file=sys.stderr,
-                flush=True,
-            )
-            try:
-                server.serve_forever()
-            except KeyboardInterrupt:
-                pass
-        return 0
-    return serve_loop(
-        pipeline, sys.stdin, sys.stdout, k=args.top_k, depth=args.serve_depth
-    )
+    try:
+        if args.port is not None:
+            with make_tcp_server(
+                pipeline, args.host, args.port, k=args.top_k,
+                depth=args.serve_depth, batcher=batcher,
+            ) as server:
+                print(
+                    f"listening on {server.server_address[0]}:"
+                    f"{server.server_address[1]}",
+                    file=sys.stderr,
+                    flush=True,
+                )
+                try:
+                    server.serve_forever()
+                except KeyboardInterrupt:
+                    pass
+            return 0
+        return serve_loop(
+            pipeline, sys.stdin, sys.stdout, k=args.top_k,
+            depth=args.serve_depth, batcher=batcher,
+        )
+    finally:
+        if batcher is not None:
+            batcher.close()
 
 
 def main(argv: Optional[Sequence[str]] = None) -> int:
@@ -392,6 +412,15 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
                          "connection is an independent pipelined stream)")
     sv.add_argument("--host", default="127.0.0.1",
                     help="bind address for --port")
+    sv.add_argument("--serve-window-ms", type=float, default=0.0,
+                    help="dynamic micro-batching: coalesce requests landing "
+                         "within this window (across ALL connections under "
+                         "--port) into one fixed-shape device dispatch; "
+                         "0 disables. Right for many concurrent low-rate "
+                         "clients; adds up to one window of latency")
+    sv.add_argument("--serve-max-batch", type=int, default=1024,
+                    help="max coalesced query rows per dispatch when "
+                         "--serve-window-ms is on")
 
     ft = sub.add_parser(
         "finetune",

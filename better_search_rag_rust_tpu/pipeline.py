@@ -597,8 +597,20 @@ class Pipeline:
 
     # -- persistent serving ---------------------------------------------------
 
-    def serve(self, requests, k: Optional[int] = None, depth: int = 1):
+    def serve(self, requests, k: Optional[int] = None, depth: int = 1,
+              batcher=None):
         """Pipelined request/response serving over the streaming search path.
+
+        ``batcher`` (a :class:`..batcher.DynamicBatcher`, usually shared
+        across TCP connections) re-routes dispatches through dynamic
+        micro-batching: requests from MANY streams landing within the
+        batcher's window coalesce into one fixed-shape device dispatch —
+        the many-concurrent-clients serving regime (``--serve-window-ms``).
+        Responses are identical (same compiled program as a direct search
+        of the coalesced rows; each request reads back its own row slice);
+        the in-order, flush-token and error semantics below are unchanged.
+        Text requests take the host-embedding path when batching (the
+        device-resident encoder fast path cannot join a host-side batch).
 
         ``requests`` is any iterator of request dicts (the ``bsr-tpu serve``
         JSONL protocol); yields exactly one response dict per request, in
@@ -646,6 +658,11 @@ class Pipeline:
         k_serve = self.config.search.top_k if k is None else k
         self._warn_encoder_drift("serve")
         engine = self.engine()
+        if batcher is not None and batcher.k < min(k_serve, engine.store.num_rows):
+            raise ValueError(
+                f"batcher was built for k={batcher.k} < serve-wide "
+                f"top_k={k_serve}; build it with k >= the serve k"
+            )
         manifest = self._serve_manifest()
         meta: deque = deque()  # ("error", resp) | ("ok", id, k_req, nq)
         bufs: deque = deque()  # async search handles, aligned with "ok" metas
@@ -685,7 +702,10 @@ class Pipeline:
                 # without a device forward (or window pooling) fall back
                 # to the host path; results are bitwise identical either
                 # way (an f32 round trip is lossless).
-                emb = self.encoder.get_embeddings_device(texts)
+                emb = (
+                    None if batcher is not None
+                    else self.encoder.get_embeddings_device(texts)
+                )
                 if emb is None:
                     emb = self.encoder.get_embeddings(texts)
             else:
@@ -719,8 +739,21 @@ class Pipeline:
             while meta and meta[0][0] == "error":
                 yield meta.popleft()[1]
             while len(bufs) > target:
-                ids, dists = engine.collect(bufs.popleft())
-                _, req_id, k_req, nq = meta.popleft()
+                handle = bufs.popleft()
+                if batcher is not None:
+                    _, req_id, k_req, nq = meta.popleft()
+                    try:
+                        ids, dists = handle.result()
+                    except Exception as exc:  # noqa: BLE001 — one batch
+                        # failing (e.g. a poisoned co-batched request) must
+                        # answer in order, not kill every other stream.
+                        yield {"id": req_id, "error": f"search failed: {exc}"}
+                        while meta and meta[0][0] == "error":
+                            yield meta.popleft()[1]
+                        continue
+                else:
+                    ids, dists = engine.collect(handle)
+                    _, req_id, k_req, nq = meta.popleft()
                 results = [
                     [
                         {"path": _path(int(i)), "row": int(i), "distance": float(d)}
@@ -746,6 +779,13 @@ class Pipeline:
                 yield from _drain(depth)
                 continue
             nq = emb.shape[0]
+            if batcher is not None:
+                # The batcher pads/coalesces itself and resolves to exactly
+                # this request's rows.
+                meta.append(("ok", req_id, k_req, nq))
+                bufs.append(batcher.submit(emb))
+                yield from _drain(depth)
+                continue
             padded = _serve_batch_shape(nq)
             if padded != nq:
                 # Pad rows by replicating the last query (trimmed from the

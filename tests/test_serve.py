@@ -324,3 +324,87 @@ def test_serve_pads_batches_to_fixed_shapes(served):
     compiled_q = {key[0] for key in engine._compiled}
     assert 3 not in compiled_q and 5 not in compiled_q
     assert {4, 8} <= compiled_q
+
+
+def test_serve_with_batcher_matches_unbatched(served):
+    """Batched serving is a pure routing change: responses (ids, paths,
+    order, error handling) are identical to the unbatched path; distances
+    agree to CPU-backend batch-shape ulp."""
+    from better_search_rag_rust_tpu.batcher import DynamicBatcher
+
+    store_rows = served.engine().store.effective_matrix()[[0, 4]]
+    reqs = [
+        {"id": 1, "query": "public class File2 method2"},
+        {"id": 2, "queries": ["a method", "another"], "k": 2},
+        {"id": "bad"},  # no query kind -> in-order error response
+        {"id": 3, "vectors": store_rows.tolist(), "k": 1},
+    ]
+    direct = list(served.serve(iter(reqs)))
+    with DynamicBatcher(served.engine(), k=5, window_ms=5.0) as b:
+        batched = list(served.serve(iter(reqs), batcher=b))
+    assert [r["id"] for r in batched] == [r["id"] for r in direct]
+    assert "error" in batched[2] and "error" in direct[2]
+    for db, dd in zip(batched, direct):
+        if "results" not in dd:
+            continue
+        got = [[(e["path"], e["row"]) for e in q] for q in db["results"]]
+        want = [[(e["path"], e["row"]) for e in q] for q in dd["results"]]
+        assert got == want
+    assert b.stats.requests == 3  # the bad request never reached the batcher
+
+
+def test_serve_batcher_coalesces_across_connections(served):
+    """Two TCP clients' single-query requests landing within one window share
+    a device dispatch (the many-clients regime the batcher exists for)."""
+    import socket
+    import threading
+
+    from better_search_rag_rust_tpu.batcher import DynamicBatcher
+    from better_search_rag_rust_tpu.cli import make_tcp_server
+
+    engine = served.engine()
+    with DynamicBatcher(engine, k=5, window_ms=250.0) as b:
+        server = make_tcp_server(served, "127.0.0.1", 0, k=5, depth=1,
+                                 batcher=b)
+        host, port = server.server_address
+        threading.Thread(target=server.serve_forever, daemon=True).start()
+        try:
+            barrier = threading.Barrier(4)
+            outs = {}
+
+            def client(i):
+                barrier.wait()
+                with socket.create_connection((host, port), timeout=60) as s:
+                    f = s.makefile("rw", encoding="utf-8")
+                    f.write(json.dumps({"id": i, "query": f"method {i}"}) + "\n")
+                    f.flush()
+                    outs[i] = json.loads(f.readline())
+
+            threads = [threading.Thread(target=client, args=(i,))
+                       for i in range(4)]
+            for t in threads:
+                t.start()
+            for t in threads:
+                t.join(90)
+            assert sorted(outs) == [0, 1, 2, 3]
+            for i, resp in outs.items():
+                assert resp["id"] == i and "results" in resp
+                direct = next(iter(served.serve(
+                    [{"id": i, "query": f"method {i}"}]
+                )))
+                got = [(e["path"], e["row"]) for e in resp["results"][0]]
+                want = [(e["path"], e["row"]) for e in direct["results"][0]]
+                assert got == want
+        finally:
+            server.shutdown()
+            server.server_close()
+    assert b.stats.requests == 4
+    assert b.stats.batches < 4, b.stats  # coalescing actually happened
+
+
+def test_serve_batcher_k_too_small_raises(served):
+    from better_search_rag_rust_tpu.batcher import DynamicBatcher
+
+    with DynamicBatcher(served.engine(), k=3, window_ms=1.0) as b:
+        with pytest.raises(ValueError, match="batcher was built for k=3"):
+            next(iter(served.serve([{"query": "x"}], k=5, batcher=b)))
