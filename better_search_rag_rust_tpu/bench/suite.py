@@ -16,6 +16,9 @@ the numbers BASELINE.json asks for:
                           a scale bf16 cannot fit)
 * ``pipeline``          — synthetic-corpus ingest throughput (hash encoder)
 * ``encode``            — nomic forward throughput (random init), files/sec
+* ``serve``             — many-concurrent-clients q/s through the dynamic
+                          micro-batcher on the 1M store (``serve_100k`` is
+                          the quick variant)
 
 Design notes for the relayed single-chip setup: the synthetic store is
 generated *on device* (no multi-GB host->device upload through the relay) and
@@ -33,6 +36,7 @@ targets >=20x over it).
 
 from __future__ import annotations
 
+import os
 import time
 from dataclasses import dataclass
 from functools import partial
@@ -383,6 +387,133 @@ def run_search_suite(name: str, suite: SearchSuite) -> dict:
     }
 
 
+def run_serve_suite(base: str = "search_1m", clients: int = 64,
+                    requests_per_client: int = 24, window_ms: float = 2.0,
+                    depth: int = 2, warm_requests: int = 4,
+                    suite: Optional[SearchSuite] = None) -> dict:
+    """Many-concurrent-clients serving throughput through the dynamic
+    micro-batcher (`batcher.DynamicBatcher`) — the third serving regime
+    next to device-resident batches (`run_search_suite`) and the single
+    pipelined stream (``stream_e2e_qps``).
+
+    ``clients`` threads each issue ``requests_per_client`` single-query
+    requests in a closed loop (submit, wait, repeat — one outstanding
+    request per client, the worst case for batching); requests landing
+    within ``window_ms`` coalesce into one fixed-shape dispatch. The
+    baseline is the same workload WITHOUT coalescing: one dispatch per
+    request, serially — what a naive per-request server pays (the
+    reference's only serving story is one whole process per query,
+    src/main.rs:42-45). ``vs_baseline`` is therefore the coalescing win
+    itself, not the MPI-baseline ratio the search suites report.
+
+    Every batch shape the run can produce is compiled up front (the
+    power-of-two ladder up to ``_serve_batch_shape(clients)``), so the
+    timed section never hits a compile — through a relayed chip one
+    stray 30 s compile would swamp ~seconds of serving."""
+    import threading
+
+    import jax
+    import jax.numpy as jnp
+
+    from ..batcher import DynamicBatcher
+    from ..ops.engine import SearchEngine
+    from ..parallel.mesh import create_mesh
+    from ..pipeline import _serve_batch_shape
+
+    suite = suite or SUITES[base]
+    mesh = create_mesh()
+    store = synthetic_device_store(
+        mesh, suite.rows, suite.dim, suite.store_dtype, suite.chunk_rows
+    )
+    engine = SearchEngine(
+        store,
+        SearchConfig(top_k=suite.top_k, chunk_rows=suite.chunk_rows,
+                     store_dtype=suite.store_dtype),
+    )
+    q_idx = np.linspace(0, suite.rows - 1, clients, dtype=np.int64)
+    queries = np.asarray(
+        jax.device_get(store.data[jnp.asarray(q_idx)]), dtype=np.float32
+    )[:, : suite.dim]
+
+    # Compile the whole reachable shape ladder before timing anything.
+    ladder, s = [], 1
+    top = _serve_batch_shape(clients)
+    while s <= top:
+        ladder.append(s)
+        s *= 2
+    for shape in ladder:
+        qs = queries[np.arange(shape) % clients]
+        engine.search(qs, k=suite.top_k)
+
+    # Baseline: one dispatch per request, serially (no coalescing, no
+    # pipelining) — the per-request cost a request-scoped server pays.
+    n_single = min(32, clients * requests_per_client)
+    t0 = time.perf_counter()
+    for i in range(n_single):
+        engine.search(queries[i % clients][None], k=suite.top_k)
+    single_qps = n_single / max(time.perf_counter() - t0, 1e-9)
+
+    lat_lock = threading.Lock()
+    latencies: list = []
+    hits: list = []
+
+    def client_loop(ci: int, n: int, record: bool) -> None:
+        for _ in range(n):
+            t_req = time.perf_counter()
+            ids, _dists = batcher.submit(queries[ci]).result()
+            dt = time.perf_counter() - t_req
+            if record:
+                with lat_lock:
+                    latencies.append(dt)
+                    hits.append(int(q_idx[ci]) in ids[0, : min(10, suite.top_k)])
+
+    def run_clients(n: int, record: bool) -> float:
+        start = threading.Barrier(clients + 1)
+        threads = [
+            threading.Thread(target=lambda c=ci: (start.wait(),
+                                                  client_loop(c, n, record)),
+                             daemon=True)
+            for ci in range(clients)
+        ]
+        for t in threads:
+            t.start()
+        start.wait()
+        t0 = time.perf_counter()
+        for t in threads:
+            t.join()
+        return time.perf_counter() - t0
+
+    with DynamicBatcher(engine, k=suite.top_k, max_batch=top,
+                        window_ms=window_ms, depth=depth) as batcher:
+        run_clients(warm_requests, record=False)  # thread/queue warmup
+        wall = run_clients(requests_per_client, record=True)
+
+    n_req = clients * requests_per_client
+    serve_qps = n_req / max(wall, 1e-9)
+    lat = np.sort(np.asarray(latencies))
+    return {
+        "metric": "serve_qps",
+        "value": round(serve_qps, 2),
+        "unit": "queries/sec",
+        "vs_baseline": round(serve_qps / max(single_qps, 1e-9), 2),
+        "recall_at_10": round(float(np.mean(hits)), 4),
+        "single_request_qps": round(single_qps, 2),
+        "coalescing": round(batcher.stats.coalescing(), 2),
+        "p50_latency_ms": round(float(lat[len(lat) // 2]) * 1e3, 2),
+        "p99_latency_ms": round(float(lat[int(len(lat) * 0.99)]) * 1e3, 2),
+        "clients": clients,
+        "requests": n_req,
+        "window_ms": window_ms,
+        "depth": depth,
+        "rows": suite.rows,
+        "dim": suite.dim,
+        "top_k": suite.top_k,
+        "store_dtype": suite.store_dtype,
+        "devices": len(jax.devices()),
+        "platform": jax.devices()[0].platform,
+    }
+
+
 def run_pipeline_suite(files: int = 512, dim: int = 768,
                        backend: str = "hash", batch: int = 32) -> dict:
     """Synthetic-corpus ingest throughput — the analogue of the reference's
@@ -582,6 +713,21 @@ def run_suite(name: str) -> dict:
         # reads back once, so it does not pay this), the rest hermetic-
         # tokenizer GIL shadow + dispatch (scripts/proto_ingest2.py).
         return run_pipeline_suite(files=3072, backend="nomic", batch=256)
+    if name == "serve":
+        # Closed-loop clients (one outstanding request each) through a
+        # relayed chip are RTT-bound at ~clients/0.04s; scale the client
+        # count to probe the device-side ceiling.
+        return run_serve_suite(
+            clients=int(os.environ.get("BSR_SERVE_CLIENTS", "64")),
+            requests_per_client=int(
+                os.environ.get("BSR_SERVE_REQUESTS", "24")
+            ),
+            window_ms=float(os.environ.get("BSR_SERVE_WINDOW_MS", "2.0")),
+        )
+    if name == "serve_100k":
+        # Cheap variant (store builds in <1 s) for quick serve-path checks.
+        return run_serve_suite(base="search_100k", clients=16,
+                               requests_per_client=12)
     if name == "encode":
         return run_encode_suite()
     if name == "finetune":
@@ -592,5 +738,5 @@ def run_suite(name: str) -> dict:
         return run_jabref_suite()
     raise ValueError(
         f"unknown suite {name!r}; available: "
-        f"{sorted(SUITES) + ['pipeline', 'pipeline_nomic', 'encode', 'finetune', 'jabref']}"
+        f"{sorted(SUITES) + ['pipeline', 'pipeline_nomic', 'encode', 'finetune', 'jabref', 'serve', 'serve_100k']}"
     )

@@ -91,6 +91,26 @@ def test_finetune_suite_smoke():
     assert out["devices"] >= 1
 
 
+def test_serve_suite_smoke():
+    """The serve suite (many concurrent clients through the dynamic
+    micro-batcher) runs end to end on the emulated mesh: exact results
+    (recall 1.0), every request answered, and coalescing observed."""
+    from better_search_rag_rust_tpu.bench.suite import (
+        SearchSuite,
+        run_serve_suite,
+    )
+
+    tiny = SearchSuite(rows=512, dim=64, queries=8, top_k=5, chunk_rows=512)
+    out = run_serve_suite(suite=tiny, clients=8, requests_per_client=4,
+                          window_ms=5.0, warm_requests=2)
+    assert out["metric"] == "serve_qps"
+    assert out["value"] > 0
+    assert out["requests"] == 32
+    assert out["recall_at_10"] == 1.0
+    assert out["coalescing"] >= 1.0
+    assert out["p99_latency_ms"] >= out["p50_latency_ms"]
+
+
 def test_pipeline_suite_smoke():
     """The pipeline suite (driver-recorded ingest throughput) runs end to
     end on the hash backend with a tiny synthetic corpus."""
