@@ -390,6 +390,7 @@ def run_search_suite(name: str, suite: SearchSuite) -> dict:
 def run_serve_suite(base: str = "search_1m", clients: int = 64,
                     requests_per_client: int = 24, window_ms: float = 2.0,
                     depth: int = 2, warm_requests: int = 4,
+                    outstanding: int = 1,
                     suite: Optional[SearchSuite] = None) -> dict:
     """Many-concurrent-clients serving throughput through the dynamic
     micro-batcher (`batcher.DynamicBatcher`) — the third serving regime
@@ -397,9 +398,12 @@ def run_serve_suite(base: str = "search_1m", clients: int = 64,
     pipelined stream (``stream_e2e_qps``).
 
     ``clients`` threads each issue ``requests_per_client`` single-query
-    requests in a closed loop (submit, wait, repeat — one outstanding
-    request per client, the worst case for batching); requests landing
-    within ``window_ms`` coalesce into one fixed-shape dispatch. The
+    requests in a closed loop (submit, wait, repeat — with ``outstanding``
+    requests in flight per client; 1 is the strict request/response
+    client, the worst case for batching, and higher values model
+    open-loop clients and expose the device-side ceiling instead of the
+    round-trip latency); requests landing within ``window_ms`` coalesce
+    into one fixed-shape dispatch. The
     baseline is the same workload WITHOUT coalescing: one dispatch per
     request, serially — what a naive per-request server pays (the
     reference's only serving story is one whole process per query,
@@ -437,7 +441,7 @@ def run_serve_suite(base: str = "search_1m", clients: int = 64,
 
     # Compile the whole reachable shape ladder before timing anything.
     ladder, s = [], 1
-    top = _serve_batch_shape(clients)
+    top = _serve_batch_shape(clients * outstanding)
     while s <= top:
         ladder.append(s)
         s *= 2
@@ -458,9 +462,17 @@ def run_serve_suite(base: str = "search_1m", clients: int = 64,
     hits: list = []
 
     def client_loop(ci: int, n: int, record: bool) -> None:
-        for _ in range(n):
-            t_req = time.perf_counter()
-            ids, _dists = batcher.submit(queries[ci]).result()
+        from collections import deque
+
+        inflight: deque = deque()
+        issued = 0
+        while issued < n or inflight:
+            while issued < n and len(inflight) < outstanding:
+                inflight.append((time.perf_counter(),
+                                 batcher.submit(queries[ci])))
+                issued += 1
+            t_req, fut = inflight.popleft()
+            ids, _dists = fut.result()
             dt = time.perf_counter() - t_req
             if record:
                 with lat_lock:
@@ -502,6 +514,7 @@ def run_serve_suite(base: str = "search_1m", clients: int = 64,
         "p50_latency_ms": round(float(lat[len(lat) // 2]) * 1e3, 2),
         "p99_latency_ms": round(float(lat[int(len(lat) * 0.99)]) * 1e3, 2),
         "clients": clients,
+        "outstanding": outstanding,
         "requests": n_req,
         "window_ms": window_ms,
         "depth": depth,
@@ -723,6 +736,7 @@ def run_suite(name: str) -> dict:
                 os.environ.get("BSR_SERVE_REQUESTS", "24")
             ),
             window_ms=float(os.environ.get("BSR_SERVE_WINDOW_MS", "2.0")),
+            outstanding=int(os.environ.get("BSR_SERVE_OUTSTANDING", "1")),
         )
     if name == "serve_100k":
         # Cheap variant (store builds in <1 s) for quick serve-path checks.

@@ -109,6 +109,11 @@ def test_serve_suite_smoke():
     assert out["recall_at_10"] == 1.0
     assert out["coalescing"] >= 1.0
     assert out["p99_latency_ms"] >= out["p50_latency_ms"]
+    # Open-loop mode (multiple outstanding per client) stays exact.
+    out = run_serve_suite(suite=tiny, clients=4, requests_per_client=6,
+                          window_ms=5.0, warm_requests=2, outstanding=3)
+    assert out["requests"] == 24
+    assert out["recall_at_10"] == 1.0
 
 
 def test_pipeline_suite_smoke():
