@@ -390,7 +390,7 @@ def run_search_suite(name: str, suite: SearchSuite) -> dict:
 def run_serve_suite(base: str = "search_1m", clients: int = 64,
                     requests_per_client: int = 24, window_ms: float = 2.0,
                     depth: int = 2, warm_requests: int = 4,
-                    outstanding: int = 1,
+                    outstanding: int = 1, upload: str = "f32",
                     suite: Optional[SearchSuite] = None) -> dict:
     """Many-concurrent-clients serving throughput through the dynamic
     micro-batcher (`batcher.DynamicBatcher`) — the third serving regime
@@ -439,7 +439,11 @@ def run_serve_suite(base: str = "search_1m", clients: int = 64,
         jax.device_get(store.data[jnp.asarray(q_idx)]), dtype=np.float32
     )[:, : suite.dim]
 
-    # Compile the whole reachable shape ladder before timing anything.
+    # Compile the whole reachable shape ladder before timing anything —
+    # in the SAME upload mode the batcher will dispatch (the store-upload
+    # precast program is a different compiled program than the f32 path).
+    if upload == "store" and not engine.supports_store_upload():
+        upload = "f32"
     ladder, s = [], 1
     top = _serve_batch_shape(clients * outstanding)
     while s <= top:
@@ -447,11 +451,12 @@ def run_serve_suite(base: str = "search_1m", clients: int = 64,
         s *= 2
     for shape in ladder:
         qs = queries[np.arange(shape) % clients]
-        engine.search(qs, k=suite.top_k)
+        engine.collect(engine.search_async(qs, k=suite.top_k, upload=upload))
 
     # Baseline: one dispatch per request, serially (no coalescing, no
     # pipelining) — the per-request cost a request-scoped server pays.
     n_single = min(32, clients * requests_per_client)
+    engine.search(queries[:1], k=suite.top_k)  # warm the f32 Q=1 program
     t0 = time.perf_counter()
     for i in range(n_single):
         engine.search(queries[i % clients][None], k=suite.top_k)
@@ -496,7 +501,8 @@ def run_serve_suite(base: str = "search_1m", clients: int = 64,
         return time.perf_counter() - t0
 
     with DynamicBatcher(engine, k=suite.top_k, max_batch=top,
-                        window_ms=window_ms, depth=depth) as batcher:
+                        window_ms=window_ms, depth=depth,
+                        upload=upload) as batcher:
         run_clients(warm_requests, record=False)  # thread/queue warmup
         wall = run_clients(requests_per_client, record=True)
 
@@ -515,6 +521,7 @@ def run_serve_suite(base: str = "search_1m", clients: int = 64,
         "p99_latency_ms": round(float(lat[int(len(lat) * 0.99)]) * 1e3, 2),
         "clients": clients,
         "outstanding": outstanding,
+        "upload": upload,
         "requests": n_req,
         "window_ms": window_ms,
         "depth": depth,
@@ -737,6 +744,7 @@ def run_suite(name: str) -> dict:
             ),
             window_ms=float(os.environ.get("BSR_SERVE_WINDOW_MS", "2.0")),
             outstanding=int(os.environ.get("BSR_SERVE_OUTSTANDING", "1")),
+            upload=os.environ.get("BSR_SERVE_UPLOAD", "f32"),
         )
     if name == "serve_100k":
         # Cheap variant (store builds in <1 s) for quick serve-path checks.

@@ -109,11 +109,15 @@ def test_serve_suite_smoke():
     assert out["recall_at_10"] == 1.0
     assert out["coalescing"] >= 1.0
     assert out["p99_latency_ms"] >= out["p50_latency_ms"]
-    # Open-loop mode (multiple outstanding per client) stays exact.
+    # Open-loop mode (multiple outstanding per client) stays exact, and
+    # upload="store" resolves to a supported mode (falls back to f32
+    # where the precast path is unavailable) without losing exactness.
     out = run_serve_suite(suite=tiny, clients=4, requests_per_client=6,
-                          window_ms=5.0, warm_requests=2, outstanding=3)
+                          window_ms=5.0, warm_requests=2, outstanding=3,
+                          upload="store")
     assert out["requests"] == 24
     assert out["recall_at_10"] == 1.0
+    assert out["upload"] in ("store", "f32")
 
 
 def test_pipeline_suite_smoke():
