@@ -444,11 +444,12 @@ def run_serve_suite(base: str = "search_1m", clients: int = 64,
     # precast program is a different compiled program than the f32 path).
     if upload == "store" and not engine.supports_store_upload():
         upload = "f32"
-    ladder, s = [], 1
+    # The reachable set of padded shapes, NOT just powers of two: above
+    # 1024 `_serve_batch_shape` pads to multiples of 1024, so e.g. 256
+    # clients x 16 outstanding can dispatch 3072 — warm exactly the set
+    # the batcher can produce so no compile lands in the timed section.
     top = _serve_batch_shape(clients * outstanding)
-    while s <= top:
-        ladder.append(s)
-        s *= 2
+    ladder = sorted({_serve_batch_shape(n) for n in range(1, clients * outstanding + 1)})
     for shape in ladder:
         qs = queries[np.arange(shape) % clients]
         engine.collect(engine.search_async(qs, k=suite.top_k, upload=upload))
@@ -465,6 +466,7 @@ def run_serve_suite(base: str = "search_1m", clients: int = 64,
     lat_lock = threading.Lock()
     latencies: list = []
     hits: list = []
+    errors: list = []
 
     def client_loop(ci: int, n: int, record: bool) -> None:
         from collections import deque
@@ -477,7 +479,12 @@ def run_serve_suite(base: str = "search_1m", clients: int = 64,
                                  batcher.submit(queries[ci])))
                 issued += 1
             t_req, fut = inflight.popleft()
-            ids, _dists = fut.result()
+            try:
+                ids, _dists = fut.result()
+            except Exception as exc:  # count, don't kill the client thread
+                with lat_lock:
+                    errors.append(f"client {ci}: {exc!r}")
+                continue
             dt = time.perf_counter() - t_req
             if record:
                 with lat_lock:
@@ -504,10 +511,23 @@ def run_serve_suite(base: str = "search_1m", clients: int = 64,
                         window_ms=window_ms, depth=depth,
                         upload=upload) as batcher:
         run_clients(warm_requests, record=False)  # thread/queue warmup
+        # Snapshot stats so the reported coalescing covers ONLY the timed
+        # run (the low-concurrency warmup batches would dilute it).
+        warm_batches = batcher.stats.batches
+        warm_rows = batcher.stats.batched_queries
+        errors.clear()
         wall = run_clients(requests_per_client, record=True)
+        timed_batches = batcher.stats.batches - warm_batches
+        timed_rows = batcher.stats.batched_queries - warm_rows
 
     n_req = clients * requests_per_client
-    serve_qps = n_req / max(wall, 1e-9)
+    answered = len(latencies)
+    if errors:
+        print(f"serve suite: {len(errors)} failed requests "
+              f"({answered}/{n_req} answered); first: {errors[0]}")
+    if answered == 0:
+        raise RuntimeError(f"serve suite: every request failed: {errors[:3]}")
+    serve_qps = answered / max(wall, 1e-9)
     lat = np.sort(np.asarray(latencies))
     return {
         "metric": "serve_qps",
@@ -516,9 +536,11 @@ def run_serve_suite(base: str = "search_1m", clients: int = 64,
         "vs_baseline": round(serve_qps / max(single_qps, 1e-9), 2),
         "recall_at_10": round(float(np.mean(hits)), 4),
         "single_request_qps": round(single_qps, 2),
-        "coalescing": round(batcher.stats.coalescing(), 2),
+        "coalescing": round(timed_rows / timed_batches if timed_batches else 0.0, 2),
+        "answered": answered,
+        "failed": len(errors),
         "p50_latency_ms": round(float(lat[len(lat) // 2]) * 1e3, 2),
-        "p99_latency_ms": round(float(lat[int(len(lat) * 0.99)]) * 1e3, 2),
+        "p99_latency_ms": round(float(lat[min(int(len(lat) * 0.99), len(lat) - 1)]) * 1e3, 2),
         "clients": clients,
         "outstanding": outstanding,
         "upload": upload,
