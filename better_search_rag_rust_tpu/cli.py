@@ -486,7 +486,8 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
         if args.command == "update":
             stats = pipeline.update()
             print(
-                f"appended {stats.embeddings} embeddings "
+                f"appended {stats.embeddings} embeddings, re-embedded "
+                f"{stats.rows_reembedded}, deleted {stats.rows_deleted} "
                 f"({stats.files_assigned} new files, "
                 f"{stats.files_skipped} skipped)"
             )

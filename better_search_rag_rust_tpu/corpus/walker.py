@@ -98,6 +98,30 @@ def read_files(
     return [(Path(p), read_file(p, max_bytes)) for p in paths]
 
 
+def content_fingerprint(content: str) -> str:
+    """Stable identity of the text that was actually embedded (post-read,
+    post-decode) — what incremental ``update()`` compares to decide whether a
+    file's stored embedding is stale. blake2b-128 of the UTF-8 bytes."""
+    import hashlib
+
+    return hashlib.blake2b(
+        content.encode("utf-8", errors="surrogatepass"), digest_size=16
+    ).hexdigest()
+
+
+def file_attr(path: str | os.PathLike, content: str) -> Optional[list]:
+    """``[size, mtime_ns, fingerprint]`` identity triple recorded per stored
+    row. size+mtime are the cheap staleness precheck (no read needed when they
+    match); the fingerprint is the truth when they differ. ``None`` when the
+    file vanished between read and stat — the row then simply has no recorded
+    identity and is never edit-detected (same as pre-attrs stores)."""
+    try:
+        st = os.stat(path)
+    except OSError:
+        return None
+    return [st.st_size, st.st_mtime_ns, content_fingerprint(content)]
+
+
 def _native_reader():
     """Hook for the C++ multi-threaded reader; None when unavailable."""
     try:

@@ -80,6 +80,10 @@ class IngestStats:
     files_skipped: int = 0
     embeddings: int = 0
     failed_batches: int = 0
+    #: update() only: rows whose file content changed and were re-embedded
+    #: in place, and rows whose file vanished and were compacted away.
+    rows_reembedded: int = 0
+    rows_deleted: int = 0
 
 
 @dataclass
@@ -228,6 +232,9 @@ class Pipeline:
         paths_file = local_store_path(cfg.store.dir, shard).with_suffix(
             ".paths.json"
         )
+        attrs_file = local_store_path(cfg.store.dir, shard).with_suffix(
+            ".attrs.json"
+        )
         done_files = 0
         committed_rows = 0
         if cfg.resume and progress_path.exists():
@@ -239,6 +246,7 @@ class Pipeline:
                 done_files = 0
 
         row_paths: List[str] = []
+        row_attrs: List = []
         store = None
         if done_files > 0:
             try:
@@ -249,12 +257,18 @@ class Pipeline:
                 row_paths = json.loads(paths_file.read_text())[:committed_rows]
                 if len(row_paths) != committed_rows:
                     raise ValueError("manifest shorter than committed rows")
+                # Identity sidecar: absent on pre-attrs stores — those rows
+                # simply have no recorded identity (never edit-detected).
+                row_attrs = [None] * committed_rows
+                if attrs_file.exists():
+                    loaded = json.loads(attrs_file.read_text())[:committed_rows]
+                    row_attrs[: len(loaded)] = loaded
             except Exception as exc:
                 host_log(
                     f"shard {shard}: resume state unusable ({exc}); "
                     "restarting the shard from scratch"
                 )
-                store, row_paths, done_files = None, [], 0
+                store, row_paths, row_attrs, done_files = None, [], [], 0
         if store is None:
             store = local_store(cfg.store.dir, shard, empty=True)
         else:
@@ -276,7 +290,10 @@ class Pipeline:
             # order). The reference only ever reports bare row indices; this
             # is what lets search results resolve back to files.
             _atomic_write(paths_file, json.dumps(row_paths))
-            # Marker LAST: it commits the two writes above.
+            # Row -> file-identity sidecar: what update() compares to detect
+            # edited files without re-embedding the whole corpus.
+            _atomic_write(attrs_file, json.dumps(row_attrs))
+            # Marker LAST: it commits the writes above.
             _atomic_write(
                 progress_path,
                 json.dumps({"files": files_done, "rows": store.count}),
@@ -294,38 +311,77 @@ class Pipeline:
         bsz = cfg.corpus.files_per_batch
         ckpt_every = cfg.checkpoint_every_batches
 
-        # Three-stage software pipeline (the reference's chunk loop is fully
-        # serial — read, embed, append per chunk; src/mpi_helpers/tasks.rs:
-        # 94-148):
-        #   A (background thread): read + tokenize batch i+1 — file I/O
-        #     (threaded C++ reader when available) AND pure-Python
-        #     tokenization hide under the device forward;
-        #   B (main): dispatch batch i's forward asynchronously;
-        #   C (main): collect batch i-1's embeddings, append, checkpoint.
-        # B-before-C keeps the device busy across batch boundaries: the next
-        # forward is already queued while the previous readback (~26 ms
-        # fixed through a relayed chip) and parquet append run on host.
+        def on_batch(batch_idx, files_through, kept, emb) -> None:
+            if emb is not None and kept:
+                store.append_many(emb)
+                row_paths.extend(str(p) for p, _c, _a in kept)
+                row_attrs.extend(a for _p, _c, a in kept)
+                stats.embeddings += emb.shape[0]
+            if ckpt_every and (batch_idx + 1) % ckpt_every == 0:
+                checkpoint(files_through)
+
+        self._embed_paths_pipelined(
+            mine[done_files:], stats, on_batch, file_offset=done_files
+        )
+        checkpoint(len(mine))
+        self.bench.record(timer.stop(items_processed=stats.embeddings))
+        host_log(
+            f"shard {shard}: {stats.embeddings} embeddings "
+            f"({stats.files_skipped} files skipped)"
+        )
+        return stats
+
+    def _embed_paths_pipelined(
+        self, paths, stats: IngestStats, on_batch, file_offset: int = 0
+    ) -> None:
+        """Three-stage software pipeline over ``paths`` (the reference's chunk
+        loop is fully serial — read, embed, append per chunk;
+        src/mpi_helpers/tasks.rs:94-148):
+
+          A (background thread): read + tokenize batch i+1 — file I/O
+            (threaded C++ reader when available) AND pure-Python tokenization
+            hide under the device forward;
+          B (main): dispatch batch i's forward asynchronously;
+          C (main): collect batch i-1's embeddings and hand them to
+            ``on_batch``.
+
+        B-before-C keeps the device busy across batch boundaries: the next
+        forward is already queued while the previous readback (~26 ms fixed
+        through a relayed chip) and any host-side append run.
+
+        ``on_batch(batch_idx, files_through, kept, emb)`` is called once per
+        batch in order; ``kept`` is ``[(path, content, attr)]`` for the files
+        that read successfully, ``emb`` is the ``[len(kept), D]`` embedding
+        matrix or ``None`` when the batch failed (failures are logged and
+        counted, never fatal — reference: tasks.rs:118-124);
+        ``files_through = file_offset + files consumed`` so callers can
+        checkpoint at batch granularity."""
         from concurrent.futures import ThreadPoolExecutor
 
-        starts = list(range(done_files, len(mine), bsz))
+        from .corpus.walker import file_attr
+
+        cfg = self.config
+        bsz = cfg.corpus.files_per_batch
+        starts = list(range(0, len(paths), bsz))
         prefetcher = ThreadPoolExecutor(max_workers=1)
         futures = {}
 
-        def _read_and_tokenize(paths):
-            contents = read_files(paths, cfg.corpus.max_file_bytes)
-            kept = [(p, c) for p, c in contents if c]
-            tb = self.encoder.tokenize([c for _p, c in kept])
+        def _read_and_tokenize(batch_paths):
+            contents = read_files(batch_paths, cfg.corpus.max_file_bytes)
+            kept = [(p, c, file_attr(p, c)) for p, c in contents if c]
+            tb = self.encoder.tokenize([c for _p, c, _a in kept])
             return kept, tb
 
         def _submit(idx):
             if 0 <= idx < len(starts) and idx not in futures:
                 s = starts[idx]
                 futures[idx] = prefetcher.submit(
-                    _read_and_tokenize, mine[s : s + bsz]
+                    _read_and_tokenize, paths[s : s + bsz]
                 )
 
-        def _collect_append(inflight) -> None:
+        def _collect(inflight) -> None:
             batch_idx, files_through, kept, pending = inflight
+            emb = None
             if pending is not None:
                 try:
                     emb = self.encoder.collect(pending)
@@ -334,20 +390,14 @@ class Pipeline:
                         f"batch {batch_idx} failed ({len(kept)} files): {exc}"
                     )
                     stats.failed_batches += 1
-                    emb = None
-                if emb is not None:
-                    store.append_many(emb)
-                    row_paths.extend(str(p) for p, _c in kept)
-                    stats.embeddings += emb.shape[0]
-            if ckpt_every and (batch_idx + 1) % ckpt_every == 0:
-                checkpoint(files_through)
+            on_batch(batch_idx, files_through, kept, emb)
 
         inflight = None
         _submit(0)
         try:
             for batch_idx, start in enumerate(starts):
                 _submit(batch_idx + 1)
-                batch_paths = mine[start : start + bsz]
+                batch_paths = paths[start : start + bsz]
                 pending, kept = None, []
                 try:
                     kept, tb = futures.pop(batch_idx).result()
@@ -362,21 +412,17 @@ class Pipeline:
                     )
                     stats.failed_batches += 1
                 if inflight is not None:
-                    _collect_append(inflight)
+                    _collect(inflight)
                 inflight = (
-                    batch_idx, start + len(batch_paths), kept, pending,
+                    batch_idx,
+                    file_offset + start + len(batch_paths),
+                    kept,
+                    pending,
                 )
             if inflight is not None:
-                _collect_append(inflight)
+                _collect(inflight)
         finally:
             prefetcher.shutdown(wait=False, cancel_futures=True)
-        checkpoint(len(mine))
-        self.bench.record(timer.stop(items_processed=stats.embeddings))
-        host_log(
-            f"shard {shard}: {stats.embeddings} embeddings "
-            f"({stats.files_skipped} files skipped)"
-        )
-        return stats
 
     def merge(self, num_shards: Optional[int] = None) -> int:
         """Merge shard stores into global.parquet in shard order — host 0 only
@@ -413,21 +459,42 @@ class Pipeline:
         count = merged.count
         # Merge per-shard row->path manifests in the same shard order the
         # embeddings merged in, keeping global indices aligned.
-        from .store.vectorstore import local_store_path, manifest_path
+        from .store.vectorstore import (
+            attrs_path,
+            local_store_path,
+            manifest_path,
+        )
 
         all_paths: List[str] = []
+        all_attrs: List = []
         have_all = True
         for s_idx in range(num_shards):
             pf = local_store_path(self.config.store.dir, s_idx).with_suffix(
                 ".paths.json"
             )
+            af = local_store_path(self.config.store.dir, s_idx).with_suffix(
+                ".attrs.json"
+            )
             if pf.exists():
-                all_paths.extend(json.loads(pf.read_text()))
+                shard_paths = json.loads(pf.read_text())
+                all_paths.extend(shard_paths)
+                # Identity sidecar may be absent (pre-attrs shard): those
+                # rows keep null identity and are never edit-detected.
+                shard_attrs = (
+                    json.loads(af.read_text()) if af.exists() else []
+                )
+                shard_attrs = shard_attrs[: len(shard_paths)]
+                all_attrs.extend(
+                    shard_attrs + [None] * (len(shard_paths) - len(shard_attrs))
+                )
             else:
                 have_all = False
         if have_all and len(all_paths) == count:
             manifest_path(self.config.store.dir).write_text(
                 json.dumps(all_paths)
+            )
+            attrs_path(self.config.store.dir).write_text(
+                json.dumps(all_attrs)
             )
         self.bench.record(timer.stop(items_processed=count))
         host_log(f"merged {num_shards} shards -> {count} vectors")
@@ -818,22 +885,36 @@ class Pipeline:
         return self._manifest_cache
 
     def update(self) -> IngestStats:
-        """Incremental ingest: embed only corpus files NOT yet in the global
-        store's row->file manifest and append them (store + manifest).
+        """Incremental ingest: reconcile the global store with the corpus.
 
-        The reference has no incremental path at all — any corpus change
-        means a full re-embed (its global store is rebuilt from scratch on
-        every non-SKIP_PROCESS run, src/main.rs:85-105). Single-host
-        operation (runs on host 0; others no-op)."""
+        Three reconciliations, none of which the reference has (its only
+        refresh path is a full rebuild, src/main.rs:85-105):
+
+        * **new** files (absent from the row->path manifest) are embedded and
+          appended;
+        * **edited** files are detected via the per-row identity triple
+          ``[size, mtime_ns, content-fingerprint]`` recorded at ingest
+          (size+mtime as the no-read fast path, fingerprint as truth) and
+          re-embedded IN PLACE — their global row index is stable;
+        * **deleted** files (or files that became unreadable/oversized) have
+          their rows compacted away — row indices after a deleted row shift
+          down, and the rewritten manifest is the authority.
+
+        Rows from pre-identity stores (null attrs) are append-only: kept
+        verbatim, never edit-detected. Embedding work rides the same 3-stage
+        pipelined loop as ingest. Single-host operation (runs on host 0;
+        other hosts just resync their engine after the barrier)."""
         import json
+        import os as _os
 
+        from .corpus.walker import content_fingerprint, read_file
         from .store.vectorstore import (
-            global_store,
+            attrs_path,
+            global_ahead_marker,
+            load_attrs,
             load_manifest,
             manifest_path,
         )
-
-        import os as _os
 
         cfg = self.config
         proc, _ = _process_info()
@@ -842,10 +923,10 @@ class Pipeline:
             try:
                 _host_barrier("update")
             finally:
-                # Host 0 may have appended rows: this host's cached engine
-                # (and its device store) is stale the moment the barrier
-                # releases. Reload lazily on next use so every host serves
-                # the same store version.
+                # Host 0 may have rewritten the store: this host's cached
+                # engine (and its device store) is stale the moment the
+                # barrier releases. Reload lazily on next use so every host
+                # serves the same store version.
                 self._engine = None
             return stats
 
@@ -857,12 +938,12 @@ class Pipeline:
             )
             stats.files_found = len(files)
             manifest = load_manifest(cfg.store.dir) or []
+            attrs = load_attrs(cfg.store.dir) or []
+            attrs = (attrs + [None] * len(manifest))[: len(manifest)]
             known = set(manifest)
+            fset = {str(f) for f in files}
             new_files = [f for f in files if str(f) not in known]
             stats.files_assigned = len(new_files)
-            if not new_files:
-                host_log("update: store already covers the corpus")
-                return stats
 
             gstore = global_store(cfg.store.dir, empty=False)
             if gstore.count != len(manifest):
@@ -870,47 +951,134 @@ class Pipeline:
                     f"manifest ({len(manifest)} paths) out of sync with store "
                     f"({gstore.count} rows) — rebuild with a full ingest"
                 )
-            self._warn_encoder_drift("update")
 
-            timer = self.bench.start("embedding_generation")
-            bsz = cfg.corpus.files_per_batch
-            for start in range(0, len(new_files), bsz):
-                batch_paths = new_files[start : start + bsz]
-                contents = read_files(batch_paths, cfg.corpus.max_file_bytes)
-                kept = [(p, c) for p, c in contents if c]
-                stats.files_skipped += len(batch_paths) - len(kept)
-                stats.files_read += len(kept)
-                if not kept:
+            # Classify every existing row: deleted / edited / identity-
+            # refresh (touched but content-identical) / unchanged.
+            deleted: List[int] = []
+            edited_rows: Dict[str, int] = {}  # path -> row index
+            refresh: Dict[int, Optional[list]] = {}  # row -> new identity
+            pre_attrs_rows = 0
+            for i, (p, a) in enumerate(zip(manifest, attrs)):
+                if p not in fset:
+                    deleted.append(i)
                     continue
+                if a is None:
+                    pre_attrs_rows += 1
+                    continue  # no recorded identity: keep as-is
                 try:
-                    emb = self.encoder.get_embeddings([c for _p, c in kept])
-                except Exception as exc:  # log-and-continue, tasks.rs:118-124
-                    host_log(f"update batch {start // bsz} failed: {exc}")
-                    stats.failed_batches += 1
+                    st = _os.stat(p)
+                except OSError:
+                    deleted.append(i)
                     continue
-                gstore.append_many(emb)
-                manifest.extend(str(p) for p, _c in kept)
-                stats.embeddings += emb.shape[0]
-            gstore.persist()  # atomic (tmp+rename inside)
-            mpath = manifest_path(cfg.store.dir)
-            tmp = mpath.with_suffix(f".{_os.getpid()}.tmp")
-            tmp.write_text(json.dumps(manifest))
-            _os.replace(tmp, mpath)
-            # global.parquet is now AHEAD of the rank_*.parquet shards: the
-            # appended rows live in no shard, so a later merge() would
-            # rebuild global WITHOUT them. The marker makes merge refuse
-            # until a full re-ingest (or an explicit force_merge).
-            from .store.vectorstore import global_ahead_marker
+                if st.st_size == a[0] and st.st_mtime_ns == a[1]:
+                    continue  # unchanged (no read needed)
+                content = read_file(p, cfg.corpus.max_file_bytes)
+                if content is None:  # now unreadable or over the size cap
+                    deleted.append(i)
+                    continue
+                if content_fingerprint(content) == a[2]:
+                    refresh[i] = [st.st_size, st.st_mtime_ns, a[2]]
+                else:
+                    edited_rows[p] = i
+            if pre_attrs_rows:
+                host_log(
+                    f"update: {pre_attrs_rows} rows have no recorded file "
+                    "identity (pre-attrs store) — edits to those files are "
+                    "undetectable; run a full ingest to record identities"
+                )
 
-            global_ahead_marker(cfg.store.dir).write_text(
-                json.dumps(
-                    {"rows": gstore.count, "appended": stats.embeddings}
+            if not (new_files or edited_rows or deleted or refresh):
+                host_log("update: store already covers the corpus")
+                return stats
+
+            self._warn_encoder_drift("update")
+            timer = self.bench.start("embedding_generation")
+
+            # Re-embeds and new-file embeds share one pipelined pass.
+            replacements: Dict[int, np.ndarray] = {}
+            appended: List[np.ndarray] = []
+            new_paths: List[str] = []
+            new_attrs: List = []
+            to_embed = [Path(p) for p in edited_rows] + list(new_files)
+
+            def on_batch(batch_idx, files_through, kept, emb) -> None:
+                if emb is None or not kept:
+                    return
+                for (p, _c, a), vec in zip(kept, emb):
+                    sp = str(p)
+                    row = edited_rows.get(sp)
+                    if row is not None:
+                        replacements[row] = np.asarray(vec, dtype=np.float32)
+                        refresh[row] = a
+                    else:
+                        appended.append(np.asarray(vec, dtype=np.float32))
+                        new_paths.append(sp)
+                        new_attrs.append(a)
+
+            if to_embed:
+                self._embed_paths_pipelined(to_embed, stats, on_batch)
+            stats.rows_reembedded = len(replacements)
+            stats.rows_deleted = len(deleted)
+            stats.embeddings = len(appended)
+
+            store_changed = bool(replacements or deleted or appended)
+            if store_changed:
+                mat = np.array(gstore.get_many(None), copy=True)
+                for i, vec in replacements.items():
+                    mat[i] = vec
+                for i, a in refresh.items():
+                    attrs[i] = a
+                if deleted:
+                    keep = np.ones(len(manifest), dtype=bool)
+                    keep[deleted] = False
+                    mat = mat[keep] if mat.size else mat
+                    manifest = [p for j, p in enumerate(manifest) if keep[j]]
+                    attrs = [a for j, a in enumerate(attrs) if keep[j]]
+                gstore.reset()
+                if mat.size:
+                    gstore.append_many(np.ascontiguousarray(mat))
+                if appended:
+                    gstore.append_many(np.stack(appended))
+                    manifest.extend(new_paths)
+                    attrs.extend(new_attrs)
+                gstore.persist()  # atomic (tmp+rename inside)
+            else:
+                for i, a in refresh.items():
+                    attrs[i] = a
+
+            for path, payload in (
+                (manifest_path(cfg.store.dir), manifest),
+                (attrs_path(cfg.store.dir), attrs),
+            ):
+                tmp = path.with_suffix(f".{_os.getpid()}.tmp")
+                tmp.write_text(json.dumps(payload))
+                _os.replace(tmp, path)
+
+            if store_changed:
+                # global.parquet has now DIVERGED from the rank_*.parquet
+                # shards (edits/deletions/appends live in no shard), so a
+                # later merge() would rebuild global without them. The marker
+                # makes merge refuse until a full re-ingest (or an explicit
+                # force_merge).
+                global_ahead_marker(cfg.store.dir).write_text(
+                    json.dumps(
+                        {
+                            "rows": gstore.count,
+                            "appended": stats.embeddings,
+                            "reembedded": stats.rows_reembedded,
+                            "deleted": stats.rows_deleted,
+                        }
+                    )
+                )
+            self.bench.record(
+                timer.stop(
+                    items_processed=stats.embeddings + stats.rows_reembedded
                 )
             )
-            self.bench.record(timer.stop(items_processed=stats.embeddings))
             host_log(
-                f"update: appended {stats.embeddings} embeddings "
-                f"({stats.files_skipped} skipped)"
+                f"update: appended {stats.embeddings} embeddings, "
+                f"re-embedded {stats.rows_reembedded} rows, deleted "
+                f"{stats.rows_deleted} rows ({stats.files_skipped} skipped)"
             )
             return stats
         finally:

@@ -303,6 +303,28 @@ def load_manifest(store_dir: str | os.PathLike) -> Optional[List[str]]:
     return json.loads(p.read_text())
 
 
+def attrs_path(store_dir: str | os.PathLike) -> Path:
+    """Row->file-identity sidecar for the merged store: a JSON list parallel
+    to ``manifest.json``, one ``[size, mtime_ns, fingerprint]`` triple (or
+    null) per global row. This is what lets ``update()`` detect EDITED files
+    (the reference's only refresh path is a full rebuild, src/main.rs:85-105;
+    rows with null identity — e.g. from pre-attrs stores — are kept as-is)."""
+    return Path(store_dir) / "manifest.attrs.json"
+
+
+def load_attrs(store_dir: str | os.PathLike) -> Optional[List]:
+    """The row->identity list, or None when never written / unreadable."""
+    import json
+
+    p = attrs_path(store_dir)
+    if not p.exists():
+        return None
+    try:
+        return json.loads(p.read_text())
+    except ValueError:
+        return None
+
+
 def parquet_row_count(path: str | os.PathLike) -> int:
     """Row count from Parquet metadata only — no data read. The reference has
     no metadata path at all: ``get_count`` requires the full frame in memory
