@@ -449,6 +449,31 @@ class SearchEngine:
             )
         return kernel
 
+    def _argmax_enabled(self) -> bool:
+        """Whether the rescore argmax fast path runs for THIS store.
+
+        "off" disables it everywhere; "auto" disables it for int8 LOW-DIM
+        stores: the m2/argmax emission is ~3 VPU passes over the int32 accs
+        that cannot hide under the HALVED-depth int8 MXU dot at low dim
+        (+5.4 ms per 10M x 256 tile, docs/DESIGN.md round-8 isolation),
+        while the full gather it avoids moves only ~ks*sub*dim bytes
+        (~2 ms of DMA there) — chip-measured 15.5 vs 13.5 ms/tile
+        (scripts/proto_r3_fullg.py, ids identical). High-dim int8 (768-d)
+        keeps the fast path: the deeper dot hides the emission. Exactness
+        never depends on the choice (both paths are oracle-exact)."""
+        mode = self.config.rescore_argmax
+        if mode == "off":
+            return False
+        dim = self.store.data.shape[1]
+        itemsize = jnp.dtype(self.store.data.dtype).itemsize
+        if (
+            mode == "auto"
+            and jnp.dtype(self.store.data.dtype) == jnp.int8
+            and dim * max(itemsize, 2) < 1024
+        ):
+            return False
+        return True
+
     def _rescore_geometry(self, k_eff: int):
         """(sub, block, cpg) for the sims-free rescore pipeline at this
         store's dim.
@@ -474,7 +499,7 @@ class SearchEngine:
         not with the byte-equivalent bf16 384-d."""
         dim = self.store.data.shape[1]
         itemsize = jnp.dtype(self.store.data.dtype).itemsize
-        argmax = self.config.rescore_argmax != "off"
+        argmax = self._argmax_enabled()
         if dim * max(itemsize, 2) >= 1024:
             return (64, 128, 4) if argmax else (16, 128, 8)
         return 128, 1024, 4
@@ -503,7 +528,7 @@ class SearchEngine:
         dim = self.store.data.shape[1]
         itemsize = jnp.dtype(self.store.data.dtype).itemsize
         sub, _block, cpg = self._rescore_geometry(k_eff)
-        if self.config.rescore_argmax != "off":
+        if self._argmax_enabled():
             gd = max(1, self.config.danger_units)
             rescore_traffic = (8 * rows // sub
                                + 5 * gd * sub * dim * itemsize // 2)
@@ -658,7 +683,7 @@ class SearchEngine:
             q_tile = max(8, min(q, 512, self._vmem_q_cap()))
         sub, blk, cpg = self._rescore_geometry(k_eff)
 
-        argmax_fast = self.config.rescore_argmax != "off"
+        argmax_fast = self._argmax_enabled()
         danger_units = self.config.danger_units
 
         def shard_fn_rescore(shard, queries_cast):

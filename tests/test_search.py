@@ -905,3 +905,33 @@ def test_auto_kernel_cost_model_picks_rescore_for_headline_shapes():
 
     # small stores stay on the proven sims path
     assert eng_for(768, 1 << 18)._resolve_kernel(100) != "rescore"
+
+
+def test_int8_lowdim_routes_full_gather():
+    """int8 LOW-DIM stores skip the argmax fast path in auto mode: the
+    m2/argmax emission cannot hide under the halved-depth int8 MXU dot at
+    256-d (chip-measured 15.5 vs 13.5 ms/tile for the emission-free full
+    gather, scripts/proto_r3_fullg.py). High-dim int8 and bf16 low-dim
+    keep it (their dots are deep enough to hide the emission)."""
+    from types import SimpleNamespace
+
+    import jax.numpy as jnp
+
+    from better_search_rag_rust_tpu.ops.engine import SearchEngine as SE
+
+    def eng_for(dim, rows, dtype, **cfg):
+        store = SimpleNamespace(
+            data=jnp.zeros((8, dim), dtype), per_device_rows=rows
+        )
+        return SE(store, SearchConfig(**cfg))
+
+    assert not eng_for(256, 10_158_080, jnp.int8)._argmax_enabled()
+    assert eng_for(768, 10_158_080, jnp.int8)._argmax_enabled()
+    assert eng_for(256, 10_158_080, jnp.bfloat16)._argmax_enabled()
+    assert eng_for(768, 1 << 20, jnp.int8)._argmax_enabled()
+    # still the rescore kernel either way, and "on"/"off" stay forced
+    assert eng_for(256, 10_158_080, jnp.int8)._resolve_kernel(100) == "rescore"
+    assert not eng_for(768, 1 << 20, jnp.int8,
+                       rescore_argmax="off")._argmax_enabled()
+    assert eng_for(256, 10_158_080, jnp.int8,
+                   rescore_argmax="on")._argmax_enabled()
