@@ -20,7 +20,11 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
 def main() -> int:
-    suite = os.environ.get("BENCH_SUITE", "search_1m")
+    # Default = the time-boxed battery: the search_1m headline keys (same
+    # metric/value as before) PLUS per-suite sub-objects under "battery"
+    # (int8 configs, encode, serve) so the driver artifact captures the
+    # breadth, not just the headline. BENCH_SUITE selects a single suite.
+    suite = os.environ.get("BENCH_SUITE", "battery")
     from better_search_rag_rust_tpu.bench.suite import run_suite
 
     result = run_suite(suite)

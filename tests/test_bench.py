@@ -183,3 +183,45 @@ def test_synthetic_store_chunked_fill_matches_oracle(store_dtype):
     assert top_k_overlap(ids, o_ids, k=10) == 1.0
     # self-retrieval: each query row must rank itself first
     assert np.array_equal(ids[:, 0], np.arange(0, rows, rows // 16)[: len(ids)])
+
+
+def test_battery_suite_assembles_headline(monkeypatch):
+    """battery = search_1m headline keys + per-suite sub-objects; suites
+    past the time budget are recorded as skipped, not silently dropped."""
+    from better_search_rag_rust_tpu.bench import suite as S
+
+    calls = []
+
+    def fake_search(name, _suite):
+        calls.append(name)
+        return {"metric": f"{name}_qps", "value": 42.0, "recall_at_10": 1.0}
+
+    monkeypatch.setattr(S, "run_search_suite", fake_search)
+    monkeypatch.setattr(S, "run_encode_suite",
+                        lambda: {"metric": "encode", "value": 7.0})
+    monkeypatch.setattr(
+        S, "run_serve_suite",
+        lambda **kw: {"metric": "serve_qps", "value": 3.0})
+
+    out = S.run_battery_suite()
+    assert out["metric"] == "search_1m_qps"
+    assert out["value"] == 42.0
+    assert set(out["battery"]) == {
+        "search_1m_int8", "search_10m_int8_mat256", "encode", "serve_100k"
+    }
+    assert "search_1m" in calls
+
+    # zero budget: only the headline runs, the rest are recorded skipped
+    monkeypatch.setenv("BSR_BATTERY_BUDGET_S", "0")
+    out = S.run_battery_suite()
+    assert out["value"] == 42.0
+    assert set(out["battery_skipped"]) == {
+        "search_1m_int8", "search_10m_int8_mat256", "encode", "serve_100k"
+    }
+
+    # a failing sub-suite surfaces as an error object, not a crash
+    monkeypatch.delenv("BSR_BATTERY_BUDGET_S")
+    monkeypatch.setattr(S, "run_encode_suite",
+                        lambda: (_ for _ in ()).throw(RuntimeError("boom")))
+    out = S.run_battery_suite()
+    assert "RuntimeError" in out["battery"]["encode"]["error"]
