@@ -482,6 +482,7 @@ def rescore_topk(
     argmax_fast: bool = False,
     danger_units: int = 4,
     danger_cpg: int = 0,
+    sup_w: int = 8,
 ) -> Tuple[jax.Array, jax.Array]:
     """Exact top-k WITHOUT materializing the similarity matrix.
 
@@ -711,7 +712,6 @@ def rescore_topk(
             # costs less than the extra approx_max_k + bm gather).
             # Small stores keep block groups: their bm row is short
             # enough to select exactly without the hierarchy.
-            sup_w = 8
             if nb >= 4 * sup_w * kb and nb % sup_w == 0:
                 ng, gw = nb // sup_w, sup_w * spb
             else:

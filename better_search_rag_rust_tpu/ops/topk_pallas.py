@@ -405,6 +405,33 @@ def _make_bm2t_kernel(sub: int, block: int, emit_block: bool,
                 out_refs[2][:] = jnp.max(
                     bms.reshape(rt // ew, ew // sub, t), axis=1)
             return
+        if jnp.dtype(s_ref.dtype) == jnp.int8 and not emit_argmax \
+                and 127 * 127 * s_ref.shape[1] < 2 ** 24:
+            # bms-only int8: mask + max-reduce in the INTEGER domain and
+            # convert only the sub-reduced [RT/sub, T] result — the
+            # full-width int->f32 convert+scale pass (~1.35 ms per 10M
+            # tile of exposed VPU) disappears. Bitwise equal to the float
+            # path: f32(int) is exact below 2^24 and monotone, so
+            # ``f32(max acc) * s == max(f32(acc) * s)``; partially padded
+            # units are safe (_PAD_ACC < any attainable dot).
+            acc = jax.lax.dot_general(
+                s_ref[:], q_ref[:], (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            )  # [RT, T] exact integer dots
+            rt, t = acc.shape
+            row0 = pl.program_id(0) * rt
+            local = row0 + jax.lax.broadcasted_iota(jnp.int32, (rt, 1), 0)
+            acc = jnp.where(local < limit_ref[0], acc, _PAD_ACC)
+            m1 = jnp.max(acc.reshape(rt // sub, sub, t), axis=1)
+            bms = jnp.where(
+                m1 == _PAD_ACC, PAD_SIM,
+                m1.astype(jnp.float32) * jnp.float32(INT8_INV_SCALE2))
+            out_refs[0][:] = bms
+            if emit_block:
+                ew = emit_width or block
+                out_refs[1][:] = jnp.max(
+                    bms.reshape(rt // ew, ew // sub, t), axis=1)
+            return
         sims_t = _sims_dot(
             s_ref[:], q_ref[:], (((1,), (1,)), ((), ()))
         )  # [RT, T] f32
@@ -530,7 +557,11 @@ def matmul_blockmax2_only(
     Output order: ``(bm_sub, [key,] [bm])``. Chip-measured: the extra
     VPU reductions hide under the MXU dot (no pass-time change), and one
     packed output instead of (arg, m2) halves the host-side refine
-    traffic.
+    traffic. (A SPLIT emission — int8 args + group-coarse danger keys,
+    4x smaller uid-take source — was chip-measured a ~1 ms/tile LOSS at
+    1M x 768 for both dtypes and reverted: the int8-source take lowers
+    even worse than the int32 one, re-confirming the take is
+    lowering-bound, not byte-bound; scripts/proto_r3_split.py.)
 
     ``R`` must be a multiple of the row tile and of ``block``; ``sub``
     must divide ``block``."""

@@ -935,3 +935,44 @@ def test_int8_lowdim_routes_full_gather():
                        rescore_argmax="off")._argmax_enabled()
     assert eng_for(256, 10_158_080, jnp.int8,
                    rescore_argmax="on")._argmax_enabled()
+
+
+def test_argmax_rescore_int8_duplicates_oracle_exact():
+    """The int8 argmax fast path stays oracle-exact with same-unit AND
+    cross-unit duplicates that force danger units, and matches the
+    full-gather path bitwise."""
+    import jax.numpy as jnp
+
+    from better_search_rag_rust_tpu.ops.quantize import (
+        int8_sims_host,
+        quantize_unit,
+    )
+    from better_search_rag_rust_tpu.ops.topk import rescore_topk
+
+    rng = np.random.default_rng(6)
+    R, D, K = 4096, 768, 32
+    mat = rng.standard_normal((R, D)).astype(np.float32)
+    mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+    # same-unit and cross-unit duplicates around the query neighborhood
+    mat[5] = mat[3]
+    mat[900] = mat[3]
+    store = quantize_unit(jnp.asarray(mat))
+    q = np.asarray(store[np.arange(0, R, 129)])
+
+    vals_a, ids_a = rescore_topk(
+        store, jnp.asarray(q), K, jnp.int32(0), R, q_tile=64,
+        use_pallas=True, sub_block=64, block=128, cpg=4,
+        argmax_fast=True, danger_units=4,
+    )
+    vals_f, ids_f = rescore_topk(
+        store, jnp.asarray(q), K, jnp.int32(0), R, q_tile=64,
+        use_pallas=True, sub_block=64, block=128, cpg=4,
+        argmax_fast=False,
+    )
+    np.testing.assert_array_equal(np.asarray(ids_a), np.asarray(ids_f))
+    np.testing.assert_array_equal(np.asarray(vals_a), np.asarray(vals_f))
+    # NumPy integer oracle, (score desc, id asc) tie order
+    sims = int8_sims_host(np.asarray(store), q)
+    order = np.lexsort((np.arange(R)[None, :].repeat(len(q), 0), -sims),
+                       axis=1)[:, :K]
+    np.testing.assert_array_equal(np.asarray(ids_a), order)
