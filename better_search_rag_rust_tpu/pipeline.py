@@ -705,6 +705,16 @@ class Pipeline:
         kills the stream — it produces an in-order error response (emitted
         immediately when nothing is in flight) and serving continues.
 
+        ``{"cmd": "reload"}`` hot-reloads the store: every in-flight search
+        drains, then the engine, device store and row manifest rebuild from
+        disk — the companion of incremental :meth:`update` (run ``update``
+        in another process, send ``reload``, and the live server serves the
+        reconciled store without a restart; the reference would re-launch
+        the whole binary). Response: ``{"id", "reloaded": true, "rows": N}``.
+        Not supported when dispatches go through a shared ``batcher`` (its
+        engine is shared across connections) — that returns an error
+        response and serving continues on the old store.
+
         Client-controlled batch sizes are padded up to a small set of fixed
         shapes (powers of two to 1024, then multiples of 1024) before
         dispatch, so a long-lived server compiles O(log max_batch) programs
@@ -837,6 +847,25 @@ class Pipeline:
         for req in requests:
             if req is None:  # flush token: answer everything in flight
                 yield from _drain(0)
+                continue
+            if isinstance(req, dict) and req.get("cmd") == "reload":
+                rid = req.get("id")
+                if batcher is not None:
+                    meta.append(("error", {
+                        "id": rid,
+                        "error": "reload is not supported through a shared "
+                                 "micro-batcher; restart the server",
+                    }))
+                    yield from _drain(depth)
+                    continue
+                yield from _drain(0)  # old-engine handles must finish first
+                self._engine = None
+                self._manifest_cache = _UNSET
+                engine = self.engine()
+                manifest = self._serve_manifest()
+                self._warn_encoder_drift("serve")
+                yield {"id": rid, "reloaded": True,
+                       "rows": int(engine.store.num_rows)}
                 continue
             try:
                 emb, req_id, k_req = _parse(req)

@@ -408,3 +408,69 @@ def test_serve_batcher_k_too_small_raises(served):
     with DynamicBatcher(served.engine(), k=3, window_ms=1.0) as b:
         with pytest.raises(ValueError, match="batcher was built for k=3"):
             next(iter(served.serve([{"query": "x"}], k=5, batcher=b)))
+
+
+def test_serve_hot_reload_after_update(tmp_path):
+    """{"cmd": "reload"}: a live serve loop picks up an incremental
+    update() (edit + add) without restarting — the edited file answers with
+    its new content and the new file becomes retrievable; in-flight
+    requests drain first and ordering is preserved."""
+    root = tmp_path / "repo"
+    root.mkdir()
+    for i in range(8):
+        (root / f"File{i}.java").write_text(
+            f"public class File{i} {{ void method{i}() {{}} }}"
+        )
+    cfg = PipelineConfig(
+        corpus=CorpusConfig(root=str(root), extensions=("java",),
+                            files_per_batch=4),
+        encoder=EncoderConfig(backend="hash", dim=96, vocab_size=4096,
+                              max_tokens=64, batch_size=4),
+        store=StoreConfig(dir=str(tmp_path / "vstore")),
+        search=SearchConfig(top_k=5, chunk_rows=256),
+    )
+    build = Pipeline(cfg)
+    build.ingest_shard()
+    build.merge()
+
+    server = Pipeline(cfg.replace(skip_process=True))
+
+    def requests():
+        yield {"id": 1, "query": "public class File2 void method2"}
+        # mutate the corpus + store from "another process"
+        (root / "File5.java").write_text(
+            "public class File5 { String xenolith; }"
+        )
+        (root / "Fresh.java").write_text("class Fresh { int meteorite; }")
+        stats = Pipeline(cfg.replace(skip_process=True)).update()
+        assert stats.rows_reembedded == 1 and stats.embeddings == 1
+        yield {"id": 2, "cmd": "reload"}
+        yield {"id": 3, "query": "class File5 String xenolith"}
+        yield {"id": 4, "query": "class Fresh int meteorite"}
+
+    resps = list(server.serve(requests()))
+    assert [r["id"] for r in resps] == [1, 2, 3, 4]
+    assert resps[0]["results"][0][0]["path"].endswith("File2.java")
+    assert resps[1]["reloaded"] is True and resps[1]["rows"] == 9
+    assert resps[2]["results"][0][0]["path"].endswith("File5.java")
+    assert resps[3]["results"][0][0]["path"].endswith("Fresh.java")
+
+
+def test_serve_reload_rejected_with_batcher(served):
+    """reload through a shared micro-batcher answers with an in-order error
+    (the batcher's engine is shared across connections) and serving
+    continues."""
+    from better_search_rag_rust_tpu.batcher import DynamicBatcher
+
+    engine = served.engine()
+    with DynamicBatcher(engine, k=5, max_batch=8, window_ms=1.0) as b:
+        resps = list(served.serve(
+            [
+                {"id": 1, "cmd": "reload"},
+                {"id": 2, "query": "public class File3 void method3"},
+            ],
+            batcher=b,
+        ))
+    assert [r["id"] for r in resps] == [1, 2]
+    assert "not supported" in resps[0]["error"]
+    assert resps[1]["results"][0][0]["path"].endswith("File3.java")
