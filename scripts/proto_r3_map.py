@@ -44,27 +44,27 @@ def main():
     q1024 = store[sel]
     q512a, q512b = q1024[:512], q1024[512:]
 
-    def call(qq):
+    def call(sh, qq):
         return rescore_topk(
-            store, qq, K, jnp.int32(0), VALID, q_tile=512, use_pallas=True,
+            sh, qq, K, jnp.int32(0), VALID, q_tile=512, use_pallas=True,
             sub_block=64, block=128, cpg=4, argmax_fast=True,
             danger_units=4,
         )
 
     map_fn = jax.jit(call)
 
-    def unrolled(qa, qb):
-        va, ia = call(qa)
-        vb, ib = call(qb)
+    def unrolled(sh, qa, qb):
+        va, ia = call(sh, qa)
+        vb, ib = call(sh, qb)
         return jnp.concatenate([va, vb]), jnp.concatenate([ia, ib])
 
     unroll_fn = jax.jit(unrolled)
     single_fn = jax.jit(call)
 
     cells = [
-        ("map1024", lambda: map_fn(q1024)),
-        ("unroll1024", lambda: unroll_fn(q512a, q512b)),
-        ("single512", lambda: single_fn(q512a)),
+        ("map1024", lambda: map_fn(store, q1024)),
+        ("unroll1024", lambda: unroll_fn(store, q512a, q512b)),
+        ("single512", lambda: single_fn(store, q512a)),
     ]
     outs = {}
     for nm, fn in cells:

@@ -711,3 +711,32 @@ def test_long_doc_mean_recovers_late_content_retrieval(tmp_path):
     assert hits_trunc <= 1
     # mean windowing: the late window carries the term -> recall@1 = 1.0.
     assert hits_mean == len(terms)
+
+
+def test_update_pre_attrs_store_is_append_only(corpus_dir, tmp_path, capsys):
+    """Stores built before the identity sidecar existed (no
+    manifest.attrs.json) must stay APPEND-ONLY under update(): edits are
+    undetectable (loudly logged), deletions of known rows still compact
+    (path absence needs no identity), new files still append."""
+    from better_search_rag_rust_tpu.store.vectorstore import attrs_path
+
+    cfg = _config(corpus_dir, tmp_path)
+    p = Pipeline(cfg)
+    p.run()
+    # simulate a pre-identity store
+    attrs_path(cfg.store.dir).unlink()
+    before = global_store(cfg.store.dir, empty=False).matrix().copy()
+
+    (corpus_dir / "a" / "File1.java").write_text(
+        "public class File1 { int totallyChanged; }"
+    )
+    (corpus_dir / "a" / "Novel.java").write_text("class Novel { int q; }")
+
+    stats = Pipeline(cfg.replace(skip_process=True)).update()
+    out = capsys.readouterr().out
+    assert "no recorded file identity" in out
+    assert stats.rows_reembedded == 0  # edit invisible without identity
+    assert stats.embeddings == 1       # new file appended
+    after = global_store(cfg.store.dir, empty=False).matrix()
+    assert after.shape[0] == before.shape[0] + 1
+    np.testing.assert_array_equal(after[: before.shape[0]], before)
