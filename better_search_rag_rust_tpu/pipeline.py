@@ -557,12 +557,23 @@ class Pipeline:
                     # keeps its old mtime): verify the recorded source
                     # identity against the file actually on disk.
                     src = meta.get("source") or {}
+                    st_now = path.stat()
                     rows_now = parquet_row_count(path)
-                    size_now = path.stat().st_size
-                    if src.get("rows") != rows_now or src.get("bytes") != size_now:
+                    # mtime_ns matters since incremental update(): an
+                    # edit-in-place rewrite keeps rows AND byte size
+                    # identical (same row count, PLAIN encoding) — only
+                    # the rewrite's fresh mtime distinguishes the stale
+                    # snapshot. (rows/bytes still guard the backup-restore
+                    # case where mtimes lie backwards.)
+                    if (
+                        src.get("rows") != rows_now
+                        or src.get("bytes") != st_now.st_size
+                        or src.get("mtime_ns") != st_now.st_mtime_ns
+                    ):
                         raise ValueError(
                             f"snapshot source {src} != parquet on disk "
-                            f"(rows={rows_now}, bytes={size_now})"
+                            f"(rows={rows_now}, bytes={st_now.st_size}, "
+                            f"mtime_ns={st_now.st_mtime_ns})"
                         )
                     store = load_device_store(snap_dir, self.mesh)
                     host_log(f"device store restored from snapshot {snap_dir}")
@@ -590,6 +601,7 @@ class Pipeline:
                 source={
                     "rows": parquet_row_count(path),
                     "bytes": path.stat().st_size,
+                    "mtime_ns": path.stat().st_mtime_ns,
                 },
             )
             host_log(f"device store snapshot written to {snap_dir}")

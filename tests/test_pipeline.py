@@ -740,3 +740,36 @@ def test_update_pre_attrs_store_is_append_only(corpus_dir, tmp_path, capsys):
     after = global_store(cfg.store.dir, empty=False).matrix()
     assert after.shape[0] == before.shape[0] + 1
     np.testing.assert_array_equal(after[: before.shape[0]], before)
+
+
+def test_snapshot_invalidated_by_edit_in_place_update(corpus_dir, tmp_path):
+    """An edit-in-place update keeps the parquet's row count AND byte size
+    identical (PLAIN encoding, same rows) — the device snapshot's source
+    identity must still notice (mtime_ns) and rebuild, not serve the stale
+    vectors."""
+    import dataclasses
+
+    cfg = _config(corpus_dir, tmp_path)
+    cfg = cfg.replace(store=dataclasses.replace(cfg.store, use_snapshot=True))
+    Pipeline(cfg).run()  # builds store + snapshot
+
+    from better_search_rag_rust_tpu.store.vectorstore import (
+        global_store_path,
+        load_manifest,
+    )
+
+    target = str(corpus_dir / "a" / "File4.java")
+    row = load_manifest(cfg.store.dir).index(target)
+    # same-length edit => identical parquet byte size after rewrite
+    (corpus_dir / "a" / "File4.java").write_text(
+        f"public class File4 {{ int qqqqq4; void zzzzzz4() {{}} }}"
+    )
+    size_before = global_store_path(cfg.store.dir).stat().st_size
+    stats = Pipeline(cfg.replace(skip_process=True)).update()
+    assert stats.rows_reembedded == 1
+    assert global_store_path(cfg.store.dir).stat().st_size == size_before
+
+    p2 = Pipeline(cfg.replace(skip_process=True))
+    ranked = p2.query(["class File4 int qqqqq4 zzzzzz4"], k=2)[0]
+    assert ranked[0][0].endswith("File4.java")
+    assert ranked[0][1] == row
