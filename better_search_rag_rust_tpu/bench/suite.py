@@ -252,8 +252,13 @@ def run_search_suite(name: str, suite: SearchSuite) -> dict:
 
     engine = SearchEngine(
         store,
-        SearchConfig(top_k=suite.top_k, chunk_rows=suite.chunk_rows,
-                     store_dtype=suite.store_dtype),
+        SearchConfig(
+            top_k=suite.top_k, chunk_rows=suite.chunk_rows,
+            store_dtype=suite.store_dtype,
+            # sweep knobs (defaults = production geometry)
+            rescore_sup_w=int(os.environ.get("BSR_SUP_W", "8")),
+            danger_cpg=int(os.environ.get("BSR_DANGER_CPG", "0")),
+        ),
     )
 
     # Queries = store rows (self-retrieval ground truth), pulled back as the

@@ -181,6 +181,15 @@ class SearchConfig:
     #: -6% on the 1M x 768 tile (scripts/proto_pad_ab.py). Stores with
     #: many same-unit top-k pairs should raise this back toward 8-16.
     danger_units: int = 4
+    #: Danger-gather units per grid step (0 = the measured-best auto:
+    #: the legality floor 128/sub at high dim, 4 at the low-dim sub=128
+    #: geometry). Tuning knob for sweeps.
+    danger_cpg: int = 0
+    #: Superblock group width for the rescore selection stack (groups =
+    #: sup_w blocks when the store is large enough). 8 is the
+    #: chip-measured optimum at both headline geometries
+    #: (scripts/proto_r3_supw.py); exposed for sweeps.
+    rescore_sup_w: int = 8
     #: Query upload dtype for the streaming/serving paths: "f32" uploads
     #: f32 queries and rounds to the store dtype ON DEVICE (the default,
     #: parity-pinned arithmetic); "store" normalizes + rounds on the HOST

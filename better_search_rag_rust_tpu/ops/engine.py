@@ -695,6 +695,8 @@ class SearchEngine:
                 use_pallas=(jax.default_backend() == "tpu"),
                 sub_block=sub, block=blk, cpg=cpg,
                 argmax_fast=argmax_fast, danger_units=danger_units,
+                danger_cpg=self.config.danger_cpg,
+                sup_w=self.config.rescore_sup_w,
             )
 
         def shard_fn(shard, queries_cast):
