@@ -761,6 +761,11 @@ def run_battery_suite() -> dict:
     budget_s = float(os.environ.get("BSR_BATTERY_BUDGET_S", "1500"))
     t_start = time.perf_counter()
 
+    def _run_jabref():
+        from .jabref import run_jabref_suite
+
+        return run_jabref_suite()
+
     plan = [
         ("search_1m", lambda: run_search_suite("search_1m",
                                                SUITES["search_1m"])),
@@ -771,6 +776,7 @@ def run_battery_suite() -> dict:
             "search_10m_int8_mat256",
             dataclasses.replace(SUITES["search_10m_int8_mat256"], iters=4))),
         ("encode", run_encode_suite),
+        ("jabref", _run_jabref),
         ("serve_100k", lambda: run_serve_suite(
             base="search_100k", clients=16, requests_per_client=12)),
     ]

@@ -202,12 +202,17 @@ def test_battery_suite_assembles_headline(monkeypatch):
     monkeypatch.setattr(
         S, "run_serve_suite",
         lambda **kw: {"metric": "serve_qps", "value": 3.0})
+    from better_search_rag_rust_tpu.bench import jabref as J
+
+    monkeypatch.setattr(J, "run_jabref_suite",
+                        lambda: {"metric": "jabref", "value": 9.0})
 
     out = S.run_battery_suite()
     assert out["metric"] == "search_1m_qps"
     assert out["value"] == 42.0
     assert set(out["battery"]) == {
-        "search_1m_int8", "search_10m_int8_mat256", "encode", "serve_100k"
+        "search_1m_int8", "search_10m_int8_mat256", "encode", "jabref",
+        "serve_100k",
     }
     assert "search_1m" in calls
 
@@ -216,7 +221,8 @@ def test_battery_suite_assembles_headline(monkeypatch):
     out = S.run_battery_suite()
     assert out["value"] == 42.0
     assert set(out["battery_skipped"]) == {
-        "search_1m_int8", "search_10m_int8_mat256", "encode", "serve_100k"
+        "search_1m_int8", "search_10m_int8_mat256", "encode", "jabref",
+        "serve_100k",
     }
 
     # a failing sub-suite surfaces as an error object, not a crash
