@@ -109,17 +109,33 @@ def content_fingerprint(content: str) -> str:
     ).hexdigest()
 
 
-def file_attr(path: str | os.PathLike, content: str) -> Optional[list]:
-    """``[size, mtime_ns, fingerprint]`` identity triple recorded per stored
-    row. size+mtime are the cheap staleness precheck (no read needed when they
-    match); the fingerprint is the truth when they differ. ``None`` when the
-    file vanished between read and stat — the row then simply has no recorded
-    identity and is never edit-detected (same as pre-attrs stores)."""
+def file_stat(path: str | os.PathLike) -> Optional[Tuple[int, int]]:
+    """``(size, mtime_ns)`` or None when unstattable. Taken BEFORE the read:
+    if the file is rewritten between stat and read, the recorded identity
+    carries the OLD stat with the NEW content's fingerprint, so the next
+    update()'s stat fast path MISSES and re-checks the fingerprint —
+    self-healing in the safe direction. (Stat-after-read heals the wrong
+    way: new stat + old content's hash makes the edit permanently
+    undetectable.)"""
     try:
         st = os.stat(path)
     except OSError:
         return None
-    return [st.st_size, st.st_mtime_ns, content_fingerprint(content)]
+    return st.st_size, st.st_mtime_ns
+
+
+def file_attr(
+    stat: Optional[Tuple[int, int]], content: str
+) -> Optional[list]:
+    """``[size, mtime_ns, fingerprint]`` identity triple recorded per stored
+    row from a PRE-READ :func:`file_stat` plus the content actually read.
+    size+mtime are the cheap staleness precheck (no read needed when they
+    match); the fingerprint is the truth when they differ. ``None`` when the
+    stat failed — the row then simply has no recorded identity and is never
+    edit-detected (same as pre-attrs stores)."""
+    if stat is None:
+        return None
+    return [stat[0], stat[1], content_fingerprint(content)]
 
 
 def _native_reader():

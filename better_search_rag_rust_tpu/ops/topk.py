@@ -568,6 +568,8 @@ def rescore_topk(
     reference's scan + sort-merge equivalent:
     src/mpi_helpers/metrics.rs:16-53.
     """
+    if sup_w < 1:
+        raise ValueError(f"sup_w must be >= 1, got {sup_w}")
     if use_pallas:
         from .topk_pallas import pallas_scoring_exact_for
 

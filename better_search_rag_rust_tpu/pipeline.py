@@ -358,7 +358,7 @@ class Pipeline:
         checkpoint at batch granularity."""
         from concurrent.futures import ThreadPoolExecutor
 
-        from .corpus.walker import file_attr
+        from .corpus.walker import file_attr, file_stat
 
         cfg = self.config
         bsz = cfg.corpus.files_per_batch
@@ -367,8 +367,16 @@ class Pipeline:
         futures = {}
 
         def _read_and_tokenize(batch_paths):
+            # Stat BEFORE read (see walker.file_stat: a rewrite landing
+            # between the two then mismatches the next update's stat fast
+            # path instead of masking the edit forever).
+            stats_pre = [file_stat(p) for p in batch_paths]
             contents = read_files(batch_paths, cfg.corpus.max_file_bytes)
-            kept = [(p, c, file_attr(p, c)) for p, c in contents if c]
+            kept = [
+                (p, c, file_attr(st, c))
+                for (p, c), st in zip(contents, stats_pre)
+                if c
+            ]
             tb = self.encoder.tokenize([c for _p, c, _a in kept])
             return kept, tb
 
@@ -871,8 +879,14 @@ class Pipeline:
                     yield from _drain(depth)
                     continue
                 yield from _drain(0)  # old-engine handles must finish first
+                # Drop every reference to the old engine BEFORE building
+                # the new one: the device store can occupy most of HBM
+                # (e.g. the 7.7 GB 10M int8 store on a 16 GB v5e), so two
+                # resident copies would OOM and kill the server.
                 self._engine = None
+                engine = None
                 self._manifest_cache = _UNSET
+                manifest = None
                 engine = self.engine()
                 manifest = self._serve_manifest()
                 self._warn_encoder_drift("serve")
@@ -981,16 +995,31 @@ class Pipeline:
             manifest = load_manifest(cfg.store.dir) or []
             attrs = load_attrs(cfg.store.dir) or []
             attrs = (attrs + [None] * len(manifest))[: len(manifest)]
+            if not files and manifest:
+                # An empty enumeration against a populated store is far
+                # more likely a bad/unmounted root or a config typo than a
+                # real mass deletion — compacting here would silently WIPE
+                # the whole store. Destroying everything requires an
+                # explicit full ingest.
+                raise RuntimeError(
+                    f"update: no files found under {cfg.corpus.root} "
+                    f"(extensions {cfg.corpus.extensions}) but the store "
+                    f"holds {len(manifest)} rows — refusing to compact "
+                    "everything away; check the corpus root, or run a "
+                    "full ingest to rebuild intentionally"
+                )
             known = set(manifest)
             fset = {str(f) for f in files}
             new_files = [f for f in files if str(f) not in known]
             stats.files_assigned = len(new_files)
 
-            gstore = global_store(cfg.store.dir, empty=False)
-            if gstore.count != len(manifest):
+            from .store.vectorstore import global_store_path, parquet_row_count
+
+            store_rows = parquet_row_count(global_store_path(cfg.store.dir))
+            if store_rows != len(manifest):
                 raise RuntimeError(
                     f"manifest ({len(manifest)} paths) out of sync with store "
-                    f"({gstore.count} rows) — rebuild with a full ingest"
+                    f"({store_rows} rows) — rebuild with a full ingest"
                 )
 
             # Classify every existing row: deleted / edited / identity-
@@ -1014,7 +1043,12 @@ class Pipeline:
                 if st.st_size == a[0] and st.st_mtime_ns == a[1]:
                     continue  # unchanged (no read needed)
                 content = read_file(p, cfg.corpus.max_file_bytes)
-                if content is None:  # now unreadable or over the size cap
+                if not content:
+                    # Now unreadable, over the size cap, or truncated to
+                    # EMPTY — ingest never stores empty files, so the row
+                    # must go (classifying empties as "edited" would hit
+                    # the pipeline's empty-content filter and leave the
+                    # stale embedding served forever).
                     deleted.append(i)
                     continue
                 if content_fingerprint(content) == a[2]:
@@ -1064,6 +1098,10 @@ class Pipeline:
 
             store_changed = bool(replacements or deleted or appended)
             if store_changed:
+                # The store matrix is only materialized on the rewrite
+                # branch — a no-op update never loads row data (the count
+                # check above reads Parquet metadata only).
+                gstore = global_store(cfg.store.dir, empty=False)
                 mat = np.array(gstore.get_many(None), copy=True)
                 for i, vec in replacements.items():
                     mat[i] = vec

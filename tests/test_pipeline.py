@@ -774,3 +774,47 @@ def test_snapshot_invalidated_by_edit_in_place_update(corpus_dir, tmp_path):
     ranked = p2.query(["class File4 int qqqqq4 zzzzzz4"], k=2)[0]
     assert ranked[0][0].endswith("File4.java")
     assert ranked[0][1] == row
+
+
+def test_update_refuses_to_wipe_on_empty_enumeration(corpus_dir, tmp_path):
+    """An empty corpus enumeration against a populated store (unmounted
+    root, config typo) must REFUSE, not compact every row away (review
+    finding: the compaction path would silently wipe hours of embed work)."""
+    import shutil
+
+    cfg = _config(corpus_dir, tmp_path)
+    Pipeline(cfg).run()
+    n = global_store(cfg.store.dir, empty=False).count
+    shutil.rmtree(corpus_dir)  # the "unmounted/missing root" scenario
+
+    with pytest.raises(RuntimeError, match="refusing to compact"):
+        Pipeline(cfg.replace(skip_process=True)).update()
+    assert global_store(cfg.store.dir, empty=False).count == n
+
+
+def test_update_deletes_row_for_file_truncated_to_empty(corpus_dir, tmp_path):
+    """A file truncated to EMPTY must lose its row (ingest never stores
+    empty files) — not stay classified 'edited' forever while serving the
+    stale embedding (review finding: the pipeline's empty-content filter
+    would silently drop the re-embed)."""
+    cfg = _config(corpus_dir, tmp_path)
+    Pipeline(cfg).run()
+    n = global_store(cfg.store.dir, empty=False).count
+
+    target = corpus_dir / "b" / "Util2.java"
+    target.write_text("")
+
+    p2 = Pipeline(cfg.replace(skip_process=True))
+    stats = p2.update()
+    assert stats.rows_deleted == 1
+    assert stats.rows_reembedded == 0
+    assert global_store(cfg.store.dir, empty=False).count == n - 1
+
+    from better_search_rag_rust_tpu.store.vectorstore import load_manifest
+
+    assert str(target) not in load_manifest(cfg.store.dir)
+
+    # converged: a second update sees nothing to do
+    stats2 = Pipeline(cfg.replace(skip_process=True)).update()
+    assert (stats2.rows_deleted, stats2.rows_reembedded,
+            stats2.embeddings) == (0, 0, 0)
