@@ -25,9 +25,27 @@ def main() -> int:
     # (int8 configs, encode, serve) so the driver artifact captures the
     # breadth, not just the headline. BENCH_SUITE selects a single suite.
     suite = os.environ.get("BENCH_SUITE", "battery")
-    from better_search_rag_rust_tpu.bench.suite import run_suite
+    from better_search_rag_rust_tpu.bench.suite import (
+        compact_battery_summary, run_suite)
 
     result = run_suite(suite)
+    if "battery" in result:
+        # The driver captures only the last ~2000 stdout chars; the full
+        # battery detail (~2.3 kB in round 3) overflowed it and the
+        # artifact lost the headline (BENCH_r03.json parsed=null). Full
+        # detail goes to a file; stdout gets ONE compact line (<=1.5 kB).
+        detail_path = os.environ.get(
+            "BSR_BENCH_DETAIL",
+            os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         "bench_detail.json"),
+        )
+        try:
+            with open(detail_path, "w") as f:
+                json.dump(result, f, indent=1)
+            print(f"full battery detail -> {detail_path}", file=sys.stderr)
+        except OSError as exc:
+            print(f"could not write {detail_path}: {exc}", file=sys.stderr)
+        result = compact_battery_summary(result)
     print(json.dumps(result))
     return 0
 

@@ -120,6 +120,26 @@ def test_serve_suite_smoke():
     assert out["upload"] in ("store", "f32")
 
 
+def test_search_suite_f32_smoke():
+    """The f32 store path (the reference's own store dtype,
+    src/vectorstore/polars.rs:35-37) runs through run_search_suite with
+    exact self-retrieval — the battery's new dtype-parity point."""
+    from better_search_rag_rust_tpu.bench.suite import (
+        SUITES,
+        SearchSuite,
+        run_search_suite,
+    )
+
+    assert SUITES["search_1m_f32"].store_dtype == "float32"
+    tiny = SearchSuite(rows=512, dim=64, queries=8, top_k=5, chunk_rows=512,
+                       store_dtype="float32", iters=1, baseline_rows=512,
+                       baseline_queries=2)
+    out = run_search_suite("search_f32_smoke", tiny)
+    assert out["recall_at_10"] == 1.0
+    assert out["store_dtype"] == "float32"
+    assert out["value"] > 0
+
+
 def test_pipeline_suite_smoke():
     """The pipeline suite (driver-recorded ingest throughput) runs end to
     end on the hash backend with a tiny synthetic corpus."""
@@ -211,8 +231,8 @@ def test_battery_suite_assembles_headline(monkeypatch):
     assert out["metric"] == "search_1m_qps"
     assert out["value"] == 42.0
     assert set(out["battery"]) == {
-        "search_1m_int8", "search_10m_int8_mat256", "encode", "jabref",
-        "serve_100k",
+        "search_1m_int8", "search_10m_int8_mat256", "search_1m_f32",
+        "encode", "jabref", "serve_100k", "serve_open",
     }
     assert "search_1m" in calls
 
@@ -221,8 +241,8 @@ def test_battery_suite_assembles_headline(monkeypatch):
     out = S.run_battery_suite()
     assert out["value"] == 42.0
     assert set(out["battery_skipped"]) == {
-        "search_1m_int8", "search_10m_int8_mat256", "encode", "jabref",
-        "serve_100k",
+        "search_1m_int8", "search_10m_int8_mat256", "search_1m_f32",
+        "encode", "jabref", "serve_100k", "serve_open",
     }
 
     # a failing sub-suite surfaces as an error object, not a crash
@@ -231,3 +251,75 @@ def test_battery_suite_assembles_headline(monkeypatch):
                         lambda: (_ for _ in ()).throw(RuntimeError("boom")))
     out = S.run_battery_suite()
     assert "RuntimeError" in out["battery"]["encode"]["error"]
+
+
+def test_compact_battery_summary_fits_capture_channel():
+    """The compact line must survive the driver's ~2000-char tail capture
+    (round-3 regression: full battery detail overflowed it and the
+    artifact lost every headline key) while keeping each sub-suite's
+    decision-grade scalars."""
+    import json
+
+    from better_search_rag_rust_tpu.bench import suite as S
+
+    def search_like(name):
+        return {
+            "metric": f"{name}_qps", "value": 84321.12,
+            "unit": "queries/sec", "vs_baseline": 379.27,
+            "recall_at_10": 1.0, "mfu": 0.6513,
+            "qps_repeats": [84321.12, 83211.45, 82999.01],
+            "spread_pct": 1.57, "e2e_qps": 5123.45,
+            "stream_e2e_qps": 13411.22, "stream_store_upload_qps": 19900.12,
+            "p50_batch_latency_s": 0.1162, "device_batch_latency_s": 0.0123,
+            "kernel": "rescore", "rows": 10_000_000, "dim": 768,
+            "batch": 1024, "top_k": 100, "store_dtype": "int8",
+            "store_build_s": 11.14, "serial_baseline_qps": 2.45,
+            "baseline_24rank_qps": 58.91, "devices": 1, "platform": "tpu",
+        }
+
+    full = search_like("search_1m")
+    full["battery"] = {
+        "search_1m_int8": search_like("search_1m_int8"),
+        "search_10m_int8_mat256": search_like("search_10m_int8_mat256"),
+        "search_1m_f32": search_like("search_1m_f32"),
+        "encode": {"metric": "encode_files_per_sec", "value": 1130.67,
+                   "unit": "files/sec", "vs_baseline": 0.0, "mfu": 0.721,
+                   "batch": 256, "max_tokens": 512,
+                   "attention_impl": "auto", "platform": "tpu"},
+        "jabref": {"metric": "jabref_search_qps", "value": 664032.58,
+                   "unit": "queries/sec", "vs_baseline": 1.41,
+                   "recall_at_10": 1.0, "oracle_overlap": 1.0,
+                   "files": 2305, "rows": 2305, "top_k": 50,
+                   "speedup_vs_serial": 33.88, "serial_qps": 19601.2,
+                   "e2e_qps": 59.86, "ingest_files_per_sec": 1309.44,
+                   "report_has_speedup": True, "platform": "tpu"},
+        "serve_100k": {"metric": "serve_qps", "value": 549.27,
+                       "unit": "queries/sec", "vs_baseline": 14.57,
+                       "recall_at_10": 1.0, "coalescing": 16.0,
+                       "p50_latency_ms": 40.1, "clients": 16,
+                       "outstanding": 1, "answered": 192, "failed": 0},
+        "serve_open": {"metric": "serve_qps", "value": 4551.3,
+                       "unit": "queries/sec", "vs_baseline": 156.2,
+                       "recall_at_10": 1.0, "coalescing": 196.4,
+                       "p50_latency_ms": 110.2, "clients": 64,
+                       "outstanding": 8, "answered": 16384, "failed": 0},
+        "broken": {"error": "RuntimeError: boom"},
+    }
+    full["battery_wall_s"] = 1321.7
+
+    out = S.compact_battery_summary(full)
+    line = json.dumps(out)
+    assert len(line) <= 1500, len(line)
+    # headline keys survive verbatim
+    assert out["metric"] == "search_1m_qps" and out["value"] == 84321.12
+    assert out["recall_at_10"] == 1.0 and out["mfu"] == 0.6513
+    assert out["qps_repeats"] == [84321.12, 83211.45, 82999.01]
+    # every sub-suite keeps its decision scalars
+    sub = out["battery"]["search_10m_int8_mat256"]
+    assert sub["value"] == 84321.12 and sub["spread_pct"] == 1.57
+    assert out["battery"]["serve_open"]["coalescing"] == 196.4
+    assert out["battery"]["jabref"]["oracle_overlap"] == 1.0
+    assert "boom" in out["battery"]["broken"]["error"]
+    assert out["battery_wall_s"] == 1321.7
+    # the whole line parses back
+    assert json.loads(line)["battery"]["encode"]["mfu"] == 0.721
