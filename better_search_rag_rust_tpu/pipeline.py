@@ -504,6 +504,19 @@ class Pipeline:
             attrs_path(self.config.store.dir).write_text(
                 json.dumps(all_attrs)
             )
+            # Re-baseline the update-commit marker: a full merge defines a
+            # fresh consistent (store, manifest, attrs) triple, superseding
+            # any previous update()'s marker (a stale one would flag this
+            # brand-new store as torn).
+            from .store.vectorstore import write_update_commit
+
+            write_update_commit(self.config.store.dir)
+        else:
+            # No trustworthy manifest for the rebuilt store: drop any stale
+            # binding marker rather than let it flag the fresh store torn.
+            from .store.vectorstore import update_commit_path
+
+            update_commit_path(self.config.store.dir).unlink(missing_ok=True)
         self.bench.record(timer.stop(items_processed=count))
         host_log(f"merged {num_shards} shards -> {count} vectors")
         return count
@@ -636,13 +649,12 @@ class Pipeline:
         has no text-query path at all — its only query is a stored vector
         (src/main.rs:110-121).
         """
-        from .store.vectorstore import load_manifest
-
         k = self.config.search.top_k if k is None else k
         self._warn_encoder_drift("query")
         emb = self.encoder.get_embeddings(list(texts))
-        ids, dists = self.engine().search(emb, k)
-        manifest = load_manifest(self.config.store.dir)
+        engine = self.engine()
+        ids, dists = engine.search(emb, k)
+        manifest = self._validated_manifest(int(engine.store.num_rows))
         out: List[List[Tuple[str, int, float]]] = []
         for row_ids, row_dists in zip(ids, dists):
             ranked = []
@@ -760,7 +772,7 @@ class Pipeline:
                 f"batcher was built for k={batcher.k} < serve-wide "
                 f"top_k={k_serve}; build it with k >= the serve k"
             )
-        manifest = self._serve_manifest()
+        manifest = self._serve_manifest(int(engine.store.num_rows))
         meta: deque = deque()  # ("error", resp) | ("ok", id, k_req, nq)
         bufs: deque = deque()  # async search handles, aligned with "ok" metas
 
@@ -887,12 +899,48 @@ class Pipeline:
                 engine = None
                 self._manifest_cache = _UNSET
                 manifest = None
-                engine = self.engine()
-                manifest = self._serve_manifest()
+                try:
+                    engine = self.engine()
+                    manifest = self._serve_manifest(
+                        int(engine.store.num_rows)
+                    )
+                except Exception as exc:  # noqa: BLE001 — reload mid-update
+                    # A reload landing mid-update can pair the NEW parquet
+                    # with the OLD manifest (ADVICE r3): answer a retryable
+                    # error instead of serving a misaligned pair. The next
+                    # request (or reload) rebuilds from scratch.
+                    self._engine = None
+                    self._manifest_cache = _UNSET
+                    engine = None
+                    manifest = None
+                    yield {"id": rid,
+                           "error": f"reload failed: {exc}; retry reload"}
+                    continue
                 self._warn_encoder_drift("serve")
                 yield {"id": rid, "reloaded": True,
                        "rows": int(engine.store.num_rows)}
                 continue
+            if engine is None and batcher is None:
+                # A previous reload failed (store mid-update): retry the
+                # rebuild per request so the server heals once the update
+                # commits, answering retryable errors meanwhile. Must run
+                # before _parse (dim validation reads engine.store).
+                try:
+                    engine = self.engine()
+                    manifest = self._serve_manifest(
+                        int(engine.store.num_rows)
+                    )
+                except Exception as exc:  # noqa: BLE001
+                    self._engine = None
+                    self._manifest_cache = _UNSET
+                    engine = None
+                    rid = req.get("id") if isinstance(req, dict) else None
+                    meta.append(("error", {
+                        "id": rid,
+                        "error": f"store unavailable: {exc}; retry",
+                    }))
+                    yield from _drain(depth)
+                    continue
             try:
                 emb, req_id, k_req = _parse(req)
             except Exception as exc:  # noqa: BLE001 — bad request != dead server
@@ -929,15 +977,39 @@ class Pipeline:
             yield from _drain(depth)
         yield from _drain(0)
 
-    def _serve_manifest(self):
+    def _serve_manifest(self, num_rows: Optional[int] = None):
         """The row->file manifest, read once per Pipeline (every TCP
         connection runs its own :meth:`serve`; re-parsing a multi-million-row
-        manifest per connection is pure waste)."""
+        manifest per connection is pure waste). With ``num_rows`` the load is
+        validated against the store before caching."""
         if self._manifest_cache is _UNSET:
-            from .store.vectorstore import load_manifest
-
-            self._manifest_cache = load_manifest(self.config.store.dir)
+            self._manifest_cache = self._validated_manifest(num_rows)
         return self._manifest_cache
+
+    def _validated_manifest(self, num_rows: Optional[int]):
+        """Load the row->path manifest, refusing torn or misaligned
+        (store, manifest) pairs.
+
+        Two hazards both yield silently wrong paths for every row after a
+        shifted index: an ``update()`` that crashed between its atomic
+        renames (detected by the update-commit marker), and a reload that
+        lands mid-update, pairing the NEW parquet with the OLD manifest
+        (detected by the row-count cross-check). Raising here turns both
+        into a loud, retryable error instead of wrong answers."""
+        from .store.vectorstore import load_manifest, validate_update_commit
+
+        torn = validate_update_commit(self.config.store.dir)
+        if torn:
+            raise RuntimeError(f"refusing to serve a torn store: {torn}")
+        manifest = load_manifest(self.config.store.dir)
+        if (manifest is not None and num_rows is not None
+                and len(manifest) != num_rows):
+            raise RuntimeError(
+                f"row manifest ({len(manifest)} paths) does not match the "
+                f"store ({num_rows} rows) — an update() may be writing "
+                "concurrently; retry once it completes"
+            )
+        return manifest
 
     def update(self) -> IngestStats:
         """Incremental ingest: reconcile the global store with the corpus.
@@ -1021,11 +1093,17 @@ class Pipeline:
                     f"manifest ({len(manifest)} paths) out of sync with store "
                     f"({store_rows} rows) — rebuild with a full ingest"
                 )
+            from .store.vectorstore import validate_update_commit
+
+            torn = validate_update_commit(cfg.store.dir)
+            if torn:
+                raise RuntimeError(f"update: torn store detected: {torn}")
 
             # Classify every existing row: deleted / edited / identity-
             # refresh (touched but content-identical) / unchanged.
             deleted: List[int] = []
             edited_rows: Dict[str, int] = {}  # path -> row index
+            edited_attr: Dict[str, list] = {}  # path -> classification attr
             refresh: Dict[int, Optional[list]] = {}  # row -> new identity
             pre_attrs_rows = 0
             for i, (p, a) in enumerate(zip(manifest, attrs)):
@@ -1051,10 +1129,18 @@ class Pipeline:
                     # stale embedding served forever).
                     deleted.append(i)
                     continue
-                if content_fingerprint(content) == a[2]:
+                fp = content_fingerprint(content)
+                if fp == a[2]:
                     refresh[i] = [st.st_size, st.st_mtime_ns, a[2]]
                 else:
                     edited_rows[p] = i
+                    # Classification-time identity: the fallback when the
+                    # re-embed pass's own stat fails (ADVICE r3: writing
+                    # None there would permanently demote a just-re-embedded
+                    # row to the never-edit-detected class). Conservative:
+                    # if the file changes again before the re-embed reads
+                    # it, the next update re-detects via mtime/fingerprint.
+                    edited_attr[p] = [st.st_size, st.st_mtime_ns, fp]
             if pre_attrs_rows:
                 host_log(
                     f"update: {pre_attrs_rows} rows have no recorded file "
@@ -1084,7 +1170,7 @@ class Pipeline:
                     row = edited_rows.get(sp)
                     if row is not None:
                         replacements[row] = np.asarray(vec, dtype=np.float32)
-                        refresh[row] = a
+                        refresh[row] = a if a is not None else edited_attr.get(sp)
                     else:
                         appended.append(np.asarray(vec, dtype=np.float32))
                         new_paths.append(sp)
@@ -1100,22 +1186,37 @@ class Pipeline:
             if store_changed:
                 # The store matrix is only materialized on the rewrite
                 # branch — a no-op update never loads row data (the count
-                # check above reads Parquet metadata only).
+                # check above reads Parquet metadata only). take_matrix
+                # detaches the store's own buffer (at most ONE materialized
+                # copy, never the transient 2x of copy-on-top — ~60 GB for
+                # a 10M x 768 f32 store) and edits land in place.
                 gstore = global_store(cfg.store.dir, empty=False)
-                mat = np.array(gstore.get_many(None), copy=True)
+                mat = gstore.take_matrix()
                 for i, vec in replacements.items():
                     mat[i] = vec
                 for i, a in refresh.items():
                     attrs[i] = a
-                if deleted:
+                if deleted and mat.size:
                     keep = np.ones(len(manifest), dtype=bool)
                     keep[deleted] = False
-                    mat = mat[keep] if mat.size else mat
-                    manifest = [p for j, p in enumerate(manifest) if keep[j]]
-                    attrs = [a for j, a in enumerate(attrs) if keep[j]]
-                gstore.reset()
+                    # In-place blocked compaction: shift kept rows down
+                    # without materializing a second full matrix.
+                    write = 0
+                    blk = 65536
+                    for start in range(0, len(manifest), blk):
+                        sel = keep[start:start + blk]
+                        n = int(sel.sum())
+                        if n:
+                            mat[write:write + n] = mat[start:start + blk][sel]
+                            write += n
+                    mat = mat[:write]
+                if deleted:
+                    keep_l = np.ones(len(manifest), dtype=bool)
+                    keep_l[deleted] = False
+                    manifest = [p for j, p in enumerate(manifest) if keep_l[j]]
+                    attrs = [a for j, a in enumerate(attrs) if keep_l[j]]
                 if mat.size:
-                    gstore.append_many(np.ascontiguousarray(mat))
+                    gstore.append_many(mat)
                 if appended:
                     gstore.append_many(np.stack(appended))
                     manifest.extend(new_paths)
@@ -1132,6 +1233,13 @@ class Pipeline:
                 tmp = path.with_suffix(f".{_os.getpid()}.tmp")
                 tmp.write_text(json.dumps(payload))
                 _os.replace(tmp, path)
+            # COMMIT POINT (mirrors ingest's .progress discipline): the
+            # marker binds the just-renamed (store, manifest, attrs) triple;
+            # a crash before this line leaves a torn state that
+            # validate_update_commit detects and loaders refuse.
+            from .store.vectorstore import write_update_commit
+
+            write_update_commit(cfg.store.dir)
 
             if store_changed:
                 # global.parquet has now DIVERGED from the rank_*.parquet
@@ -1163,6 +1271,7 @@ class Pipeline:
         finally:
             _host_barrier("update")
             self._engine = None  # stale device store: force a reload
+            self._manifest_cache = _UNSET  # rows may have shifted
 
     def evaluate(
         self, num_queries: int = 64, k: Optional[int] = None

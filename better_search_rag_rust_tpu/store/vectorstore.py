@@ -224,6 +224,23 @@ class ParquetVectorStore:
             self._chunks = [np.concatenate(self._chunks, axis=0)]
         return self._chunks[0]
 
+    def take_matrix(self) -> np.ndarray:
+        """Detach and return all rows as ONE writable ``[N, D]`` matrix,
+        leaving the store empty.
+
+        The in-place mutation surface :meth:`..pipeline.Pipeline.update`
+        needs: ``matrix()`` may hand back a read-only mmap view (Parquet
+        pages), and copying on top of it while the store still holds its
+        chunks transiently doubles host RAM (~60 GB for a 10M x 768 f32
+        store). Here at most one materialized copy exists at any moment —
+        the store's reference is dropped before any copy is made, and a
+        writable consolidated buffer is handed over without copying."""
+        mat = self.matrix()
+        self._chunks, self._count = [], 0
+        if mat.size and not mat.flags.writeable:
+            mat = np.array(mat)  # one copy; the mmap pages drop right after
+        return mat
+
     def get(self, index: int) -> np.ndarray:
         """Random-access one row (reference: polars.rs:158-169)."""
         if not 0 <= index < self._count:
@@ -405,6 +422,84 @@ def global_ahead_marker(store_dir: str | os.PathLike) -> Path:
     from the shards) would silently discard the appended rows. ``merge``
     refuses while this marker exists unless forced."""
     return Path(store_dir) / "global.parquet.ahead"
+
+
+def update_commit_path(store_dir: str | os.PathLike) -> Path:
+    """Commit marker for :meth:`..pipeline.Pipeline.update`'s multi-file
+    rewrite (global.parquet + manifest.json + manifest.attrs.json are three
+    separate atomic renames; this marker, written LAST, is the commit point
+    — the same discipline as ingest's ``.progress`` marker). It binds the
+    store file's identity (size + mtime_ns) to fingerprints of the manifest
+    and attrs payloads, so a crash between any two renames is detectable:
+    loaders refuse the torn combination instead of silently serving
+    row-shifted paths."""
+    return Path(store_dir) / "update_commit.json"
+
+
+def _file_sha(path: Path) -> Optional[str]:
+    import hashlib
+
+    if not path.exists():
+        return None
+    return hashlib.sha256(path.read_bytes()).hexdigest()
+
+
+def write_update_commit(store_dir: str | os.PathLike) -> None:
+    """Record the committed (store, manifest, attrs) triple — call strictly
+    after all three files are in place."""
+    store_dir = Path(store_dir)
+    gpath = global_store_path(store_dir)
+    st = gpath.stat()
+    payload = {
+        "store_size": st.st_size,
+        "store_mtime_ns": st.st_mtime_ns,
+        "rows": parquet_row_count(gpath),
+        "manifest_sha": _file_sha(manifest_path(store_dir)),
+        "attrs_sha": _file_sha(attrs_path(store_dir)),
+    }
+    marker = update_commit_path(store_dir)
+    tmp = marker.with_suffix(f".{os.getpid()}.tmp")
+    tmp.write_text(json.dumps(payload))
+    os.replace(tmp, marker)
+
+
+def validate_update_commit(store_dir: str | os.PathLike) -> Optional[str]:
+    """Check the on-disk (store, manifest, attrs) triple against the last
+    update-commit marker. Returns an error description for a torn state
+    (crash mid-update), or None when consistent / never updated."""
+    store_dir = Path(store_dir)
+    marker = update_commit_path(store_dir)
+    if not marker.exists():
+        return None  # store never went through update(): nothing to check
+    try:
+        rec = json.loads(marker.read_text())
+    except ValueError:
+        return f"unreadable update-commit marker {marker}"
+    gpath = global_store_path(store_dir)
+    if not gpath.exists():
+        return f"update marker exists but {gpath} is missing"
+    st = gpath.stat()
+    problems = []
+    if (st.st_size, st.st_mtime_ns) != (rec.get("store_size"),
+                                        rec.get("store_mtime_ns")):
+        problems.append("global.parquet differs from the last committed "
+                        "update (size/mtime mismatch)")
+    # A MISSING sidecar is deliberate stripping (legacy/foreign store), not
+    # crash evidence — the atomic renames replace files, never delete them;
+    # loaders already degrade gracefully without a manifest. Only an
+    # existing-but-different file marks a torn rename sequence.
+    for path, key in ((manifest_path(store_dir), "manifest_sha"),
+                      (attrs_path(store_dir), "attrs_sha")):
+        sha = _file_sha(path)
+        if sha is not None and rec.get(key) is not None and sha != rec[key]:
+            problems.append(f"{path.name} differs from the last committed "
+                            "update")
+    if not problems:
+        return None
+    return ("; ".join(problems)
+            + " — an update() likely crashed between its atomic renames; "
+              "run a full ingest to rebuild (row->path alignment cannot be "
+              "trusted)")
 
 
 def encoder_meta_path(store_dir: str | os.PathLike) -> Path:

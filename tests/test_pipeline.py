@@ -818,3 +818,78 @@ def test_update_deletes_row_for_file_truncated_to_empty(corpus_dir, tmp_path):
     stats2 = Pipeline(cfg.replace(skip_process=True)).update()
     assert (stats2.rows_deleted, stats2.rows_reembedded,
             stats2.embeddings) == (0, 0, 0)
+
+
+def test_update_commit_marker_detects_torn_store(corpus_dir, tmp_path):
+    """A crash between update()'s three atomic renames leaves e.g. a NEW
+    parquet paired with an OLD manifest — row-shifted paths the length
+    check alone cannot catch (same-length manifests slip through). The
+    update-commit marker (written LAST, the commit point) binds the triple;
+    update() and query() must refuse the torn state, and a full rebuild
+    re-baselines it."""
+    import json
+
+    from better_search_rag_rust_tpu.store.vectorstore import (
+        load_manifest,
+        manifest_path,
+        update_commit_path,
+    )
+
+    cfg = _config(corpus_dir, tmp_path)
+    Pipeline(cfg).run()
+    assert update_commit_path(cfg.store.dir).exists()  # baselined at merge
+
+    # Simulate the torn state: manifest content changed (same LENGTH —
+    # a reversed row order) without the marker being rewritten.
+    manifest = load_manifest(cfg.store.dir)
+    manifest_path(cfg.store.dir).write_text(json.dumps(manifest[::-1]))
+
+    with pytest.raises(RuntimeError, match="torn"):
+        Pipeline(cfg.replace(skip_process=True)).update()
+    with pytest.raises(RuntimeError, match="torn"):
+        Pipeline(cfg.replace(skip_process=True)).query(["class Util0"], k=2)
+
+    # Recovery: a full ingest+merge rewrites the triple and re-baselines.
+    rebuilt = Pipeline(cfg)
+    rebuilt.ingest_shard()
+    rebuilt.merge()
+    ranked = Pipeline(cfg.replace(skip_process=True)).query(
+        ["class Util0 static String helper0"], k=2
+    )[0]
+    assert ranked[0][0].endswith("Util0.java")
+
+
+def test_update_identity_survives_reembed_stat_failure(
+    corpus_dir, tmp_path, monkeypatch
+):
+    """If the pipelined re-embed's own stat fails (file_attr -> None) for an
+    EDITED row, update must fall back to the classification-time identity
+    instead of erasing it — otherwise a just-re-embedded row is permanently
+    demoted to the never-edit-detected pre-attrs class (ADVICE r3)."""
+    import json
+
+    from better_search_rag_rust_tpu.corpus import walker
+    from better_search_rag_rust_tpu.store.vectorstore import (
+        attrs_path,
+        load_manifest,
+    )
+
+    cfg = _config(corpus_dir, tmp_path)
+    Pipeline(cfg).run()
+
+    edited = corpus_dir / "a" / "File1.java"
+    edited.write_text("public class File1 { int totallyChanged; }")
+
+    monkeypatch.setattr(walker, "file_attr", lambda st, content: None)
+    stats = Pipeline(cfg.replace(skip_process=True)).update()
+    assert stats.rows_reembedded == 1
+    monkeypatch.undo()
+
+    manifest = load_manifest(cfg.store.dir)
+    attrs = json.loads(attrs_path(cfg.store.dir).read_text())
+    row = manifest.index(str(edited))
+    assert attrs[row] is not None  # classification-time identity kept
+
+    # and the row is NOT re-embedded again: identity matches on disk
+    stats2 = Pipeline(cfg.replace(skip_process=True)).update()
+    assert (stats2.rows_reembedded, stats2.embeddings) == (0, 0)

@@ -474,3 +474,66 @@ def test_serve_reload_rejected_with_batcher(served):
     assert [r["id"] for r in resps] == [1, 2]
     assert "not supported" in resps[0]["error"]
     assert resps[1]["results"][0][0]["path"].endswith("File3.java")
+
+
+def test_serve_reload_midupdate_answers_error_then_heals(tmp_path):
+    """A reload landing while an update() is mid-rewrite can observe a NEW
+    parquet with an OLD manifest (ADVICE r3): the server must answer a
+    retryable error — never serve the misaligned pair — and heal on the
+    next reload once the update has committed."""
+    import json
+
+    from better_search_rag_rust_tpu.store.vectorstore import (
+        load_manifest,
+        manifest_path,
+        write_update_commit,
+    )
+
+    root = tmp_path / "repo"
+    root.mkdir()
+    for i in range(6):
+        (root / f"File{i}.java").write_text(
+            f"public class File{i} {{ void method{i}() {{}} }}"
+        )
+    cfg = PipelineConfig(
+        corpus=CorpusConfig(root=str(root), extensions=("java",),
+                            files_per_batch=4),
+        encoder=EncoderConfig(backend="hash", dim=96, vocab_size=4096,
+                              max_tokens=64, batch_size=4),
+        store=StoreConfig(dir=str(tmp_path / "vstore")),
+        search=SearchConfig(top_k=5, chunk_rows=256),
+    )
+    build = Pipeline(cfg)
+    build.ingest_shard()
+    build.merge()
+    server = Pipeline(cfg.replace(skip_process=True))
+
+    good_manifest = None
+
+    def requests():
+        nonlocal good_manifest
+        yield {"id": 1, "query": "public class File2 void method2"}
+        # Mid-update snapshot: manifest shorter than the store (one rename
+        # landed, the next has not) — marker deliberately rewritten so ONLY
+        # the row-count cross-check can catch it.
+        good_manifest = load_manifest(cfg.store.dir)
+        manifest_path(cfg.store.dir).write_text(
+            json.dumps(good_manifest[:-1])
+        )
+        write_update_commit(cfg.store.dir)
+        yield {"id": 2, "cmd": "reload"}
+        # queries during the broken window answer retryable errors too
+        yield {"id": 3, "query": "public class File3 void method3"}
+        # the "update" commits (manifest restored + re-baselined)
+        manifest_path(cfg.store.dir).write_text(json.dumps(good_manifest))
+        write_update_commit(cfg.store.dir)
+        yield {"id": 4, "cmd": "reload"}
+        yield {"id": 5, "query": "public class File3 void method3"}
+
+    resps = list(server.serve(requests()))
+    assert [r["id"] for r in resps] == [1, 2, 3, 4, 5]
+    assert resps[0]["results"][0][0]["path"].endswith("File2.java")
+    assert "does not match" in resps[1]["error"]
+    assert "retry" in resps[2]["error"]
+    assert resps[3]["reloaded"] is True and resps[3]["rows"] == 6
+    assert resps[4]["results"][0][0]["path"].endswith("File3.java")

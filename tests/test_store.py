@@ -181,3 +181,38 @@ def test_truncate(tmp_path):
     assert st.count == 6
     st.truncate(0)
     assert st.count == 0
+
+
+def test_take_matrix_detaches_writable(tmp_path):
+    """take_matrix hands over ONE writable consolidated matrix and leaves
+    the store empty — update()'s in-place mutation surface without the
+    transient 2x-store-size copy (ADVICE r3). Parquet-backed chunks are
+    mmap views (read-only); the handover must still be writable and
+    mutations must not leak to disk until an explicit persist."""
+    from better_search_rag_rust_tpu.store.vectorstore import (
+        ParquetVectorStore,
+    )
+
+    path = tmp_path / "s.parquet"
+    s = ParquetVectorStore(path, empty=True)
+    rows = np.arange(12, dtype=np.float32).reshape(4, 3)
+    s.append_many(rows)
+    s.persist()
+
+    loaded = ParquetVectorStore(path, empty=False)
+    mat = loaded.take_matrix()
+    assert mat.flags.writeable
+    np.testing.assert_array_equal(mat, rows)
+    assert loaded.count == 0 and loaded.matrix().size == 0
+
+    mat[0, 0] = 99.0  # in-place edit, then hand back + persist
+    loaded.append_many(mat[:3])  # compaction keeps a leading slice
+    loaded.persist()
+    again = ParquetVectorStore(path, empty=False)
+    assert again.count == 3
+    assert again.get(0)[0] == 99.0
+
+    # empty store: degenerate matrix, still detached
+    empty = ParquetVectorStore(tmp_path / "e.parquet", empty=True)
+    m = empty.take_matrix()
+    assert m.size == 0 and empty.count == 0
