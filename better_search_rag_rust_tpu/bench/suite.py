@@ -571,7 +571,8 @@ def run_serve_suite(base: str = "search_1m", clients: int = 64,
 
 
 def run_pipeline_suite(files: int = 512, dim: int = 768,
-                       backend: str = "hash", batch: int = 32) -> dict:
+                       backend: str = "hash", batch: int = 32,
+                       inflight: Optional[int] = None) -> dict:
     """Synthetic-corpus ingest throughput — the analogue of the reference's
     ``embedding_generation`` timing (reference: src/main.rs:61-79,
     src/mpi_helpers/tasks.rs:94-148).
@@ -602,9 +603,13 @@ def run_pipeline_suite(files: int = 512, dim: int = 768,
             )
             with open(os.path.join(src, f"F{i}.java"), "w") as f:
                 f.write(f"class F{i} {{ {body} }}")
+        if inflight is None:
+            inflight = int(os.environ.get("BSR_INGEST_INFLIGHT", "0")) or \
+                CorpusConfig.inflight_batches
         cfg = PipelineConfig(
             corpus=CorpusConfig(root=src, extensions=("java",),
-                                files_per_batch=batch),
+                                files_per_batch=batch,
+                                inflight_batches=inflight),
             encoder=EncoderConfig(backend=backend, dim=dim, batch_size=batch),
             store=StoreConfig(dir=os.path.join(tmp, "vstore")),
             search=SearchConfig(top_k=50),
@@ -630,6 +635,7 @@ def run_pipeline_suite(files: int = 512, dim: int = 768,
             "startup_s": round(startup, 2),
             "backend": backend,
             "files_per_batch": batch,
+            "inflight_batches": inflight,
         }
     finally:
         shutil.rmtree(tmp, ignore_errors=True)

@@ -35,6 +35,13 @@ class CorpusConfig:
     #: Files per embedding batch ("chunk" in the reference = a batch of files,
     #: reference: src/main.rs:40, src/mpi_helpers/tasks.rs:80-83).
     files_per_batch: int = 32
+    #: Max embedding batches dispatched to the device but not yet collected
+    #: in the ingest pipeline (2 = dispatch i, collect i-1 — the classic
+    #: double-buffer). Deeper values keep more forwards queued so the
+    #: ~40 ms/batch synchronous readback of a RELAYED chip amortizes over
+    #: in-flight compute; each extra slot holds one batch of file contents
+    #: + one [B, D] device buffer in memory.
+    inflight_batches: int = 2
 
 
 @dataclass(frozen=True)

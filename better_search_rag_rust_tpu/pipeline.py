@@ -400,7 +400,14 @@ class Pipeline:
                     stats.failed_batches += 1
             on_batch(batch_idx, files_through, kept, emb)
 
-        inflight = None
+        from collections import deque
+
+        # Depth-D in-flight window (D=2 is the classic double-buffer:
+        # dispatch i, collect i-1). Deeper windows keep the device queue
+        # full across the ~40 ms synchronous readback a relayed chip
+        # charges per collect; on_batch stays strictly in batch order.
+        depth = max(int(getattr(cfg.corpus, "inflight_batches", 2)), 1)
+        inflight: deque = deque()
         _submit(0)
         try:
             for batch_idx, start in enumerate(starts):
@@ -419,16 +426,16 @@ class Pipeline:
                         f"({len(batch_paths)} files): {exc}"
                     )
                     stats.failed_batches += 1
-                if inflight is not None:
-                    _collect(inflight)
-                inflight = (
+                inflight.append((
                     batch_idx,
                     file_offset + start + len(batch_paths),
                     kept,
                     pending,
-                )
-            if inflight is not None:
-                _collect(inflight)
+                ))
+                while len(inflight) >= depth:
+                    _collect(inflight.popleft())
+            while inflight:
+                _collect(inflight.popleft())
         finally:
             prefetcher.shutdown(wait=False, cancel_futures=True)
 
