@@ -171,7 +171,42 @@ class EncoderService:
             out[i * bs: (i + 1) * bs] = np.asarray(
                 jax.device_get(buf), dtype=np.float32
             )
-        rows = out[: pending.n_rows]
+        return self._reduce_rows(tb, out[: pending.n_rows])
+
+    def collect_many(
+        self, pendings: Sequence[PendingEmbeddings]
+    ) -> list:
+        """Batched stage 3: ONE packed device->host readback for a window
+        of in-flight dispatches (device-side concatenate + a single
+        ``device_get``), amortizing the relayed chip's fixed per-readback
+        cost across the window. Values are identical to
+        ``[collect(p) for p in pendings]`` (same buffers, same reduce);
+        only the transfer shape changes. Falls back to per-pending
+        :meth:`collect` when the buffers are not all device arrays."""
+        import jax
+
+        bufs = [b for p in pendings for b in p.buffers]
+        if len(bufs) <= 1 or not all(isinstance(b, jax.Array) for b in bufs):
+            return [self.collect(p) for p in pendings]
+        import jax.numpy as jnp
+
+        packed = np.asarray(
+            jax.device_get(jnp.concatenate(bufs, axis=0)), dtype=np.float32
+        )
+        bs = self.batch_size
+        out, off = [], 0
+        for p in pendings:
+            span = len(p.buffers) * bs
+            rows = packed[off: off + p.n_rows]
+            off += span
+            out.append(
+                self._reduce_rows(p.tb, rows)
+                if p.n_rows
+                else np.zeros((p.tb.n_docs, self.dim), dtype=np.float32)
+            )
+        return out
+
+    def _reduce_rows(self, tb: TokenBatch, rows: np.ndarray) -> np.ndarray:
         if tb.groups is None:
             return rows
         # long_doc="mean": mean-pool each document's windows, re-normalize.

@@ -387,18 +387,39 @@ class Pipeline:
                     _read_and_tokenize, paths[s : s + bsz]
                 )
 
-        def _collect(inflight) -> None:
+        def _collect(inflight, emb=_UNSET) -> None:
             batch_idx, files_through, kept, pending = inflight
-            emb = None
-            if pending is not None:
-                try:
-                    emb = self.encoder.collect(pending)
-                except Exception as exc:  # log-and-continue, tasks.rs:118-124
-                    host_log(
-                        f"batch {batch_idx} failed ({len(kept)} files): {exc}"
-                    )
-                    stats.failed_batches += 1
+            if emb is _UNSET:
+                emb = None
+                if pending is not None:
+                    try:
+                        emb = self.encoder.collect(pending)
+                    except Exception as exc:  # log-and-continue, tasks.rs:118-124
+                        host_log(
+                            f"batch {batch_idx} failed ({len(kept)} files): "
+                            f"{exc}"
+                        )
+                        stats.failed_batches += 1
             on_batch(batch_idx, files_through, kept, emb)
+
+        def _collect_burst(items) -> None:
+            """Collect a window of in-flight batches with ONE packed
+            device->host readback (encoder.collect_many) — the relay's
+            fixed per-readback cost amortizes across the burst. A packed
+            failure falls back to per-batch collects so log-and-continue
+            granularity is preserved."""
+            pendings = [it[3] for it in items if it[3] is not None]
+            if len(pendings) > 1:
+                try:
+                    outs = iter(self.encoder.collect_many(pendings))
+                    for it in items:
+                        _collect(it, emb=None if it[3] is None else next(outs))
+                    return
+                except Exception as exc:  # noqa: BLE001 — isolate per batch
+                    host_log(f"packed collect failed ({exc}); "
+                             "falling back to per-batch readbacks")
+            for it in items:
+                _collect(it)
 
         from collections import deque
 
@@ -432,10 +453,16 @@ class Pipeline:
                     kept,
                     pending,
                 ))
-                while len(inflight) >= depth:
-                    _collect(inflight.popleft())
-            while inflight:
-                _collect(inflight.popleft())
+                if len(inflight) >= depth:
+                    # Drain to ONE still-in-flight batch (the classic
+                    # B-before-C overlap survives the burst): depth 2 is
+                    # the unchanged double-buffer, deeper windows collect
+                    # depth-1 batches per packed readback.
+                    burst = [inflight.popleft()
+                             for _ in range(len(inflight) - 1)]
+                    _collect_burst(burst)
+            _collect_burst(list(inflight))
+            inflight.clear()
         finally:
             prefetcher.shutdown(wait=False, cancel_futures=True)
 

@@ -573,3 +573,37 @@ def test_staged_encode_windows_mode():
     want = svc.get_embeddings(texts)
     got = svc.collect(svc.dispatch(svc.tokenize(texts)))
     np.testing.assert_array_equal(got, want)
+
+
+def test_collect_many_matches_collect():
+    """collect_many = one packed readback for a window of dispatches; the
+    values must equal per-pending collect exactly (same buffers, same
+    reduce), including empty batches and long-doc window pooling."""
+    from better_search_rag_rust_tpu.models.encoder import create_encoder
+
+    svc = create_encoder(EncoderConfig(backend="hash", dim=64, batch_size=4))
+    batches = [
+        [f"beta doc {i} {j}" for j in range(n)] for i, n in
+        enumerate([5, 0, 3, 9])
+    ]
+    want = [svc.get_embeddings(b) for b in batches]
+    pendings = [svc.dispatch(svc.tokenize(b)) for b in batches]
+    got = svc.collect_many(pendings)
+    assert len(got) == len(want)
+    for g, w in zip(got, want):
+        np.testing.assert_array_equal(g, w)
+
+    # window-pooling mode rides the same packed path
+    svc_w = create_encoder(
+        EncoderConfig(backend="hash", dim=32, batch_size=4,
+                      max_tokens=16, long_doc="mean")
+    )
+    wb = [["word " * 60, "short"], ["medium " * 20]]
+    want_w = [svc_w.get_embeddings(b) for b in wb]
+    got_w = svc_w.collect_many([svc_w.dispatch(svc_w.tokenize(b)) for b in wb])
+    for g, w in zip(got_w, want_w):
+        np.testing.assert_array_equal(g, w)
+
+    # singleton window degrades to plain collect
+    one = svc.collect_many([svc.dispatch(svc.tokenize(["solo text"]))])
+    np.testing.assert_array_equal(one[0], svc.get_embeddings(["solo text"]))

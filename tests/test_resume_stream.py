@@ -329,3 +329,45 @@ def test_ingest_failed_tokenize_batch(corpus, tmp_path):
     stats = p.ingest_shard()
     assert stats.failed_batches == 1
     assert stats.embeddings == 16
+
+
+@pytest.mark.parametrize("depth", [1, 2, 4, 7])
+def test_ingest_inflight_depth_same_shard(corpus, tmp_path, depth):
+    """Deeper dispatch windows (CorpusConfig.inflight_batches) must change
+    ONLY scheduling: on_batch stays strictly batch-ordered, so the shard,
+    its row order, and the path manifest are identical to the depth-2
+    double-buffer at every depth (incl. depth > number of batches)."""
+    import dataclasses
+    import json
+
+    ref_cfg = _cfg(corpus, tmp_path)
+    ref = Pipeline(ref_cfg)
+    assert ref.ingest_shard().embeddings == 20
+    ref_store = local_store_path(ref_cfg.store.dir, 0)
+    ref_mat = np.asarray(
+        __import__("pyarrow.parquet", fromlist=["read_table"])
+        .read_table(ref_store)
+        .to_pandas()
+        .iloc[:, 0]
+        .tolist()
+    )
+    ref_paths = json.loads(ref_store.with_suffix(".paths.json").read_text())
+
+    cfg = dataclasses.replace(
+        ref_cfg,
+        corpus=dataclasses.replace(ref_cfg.corpus, inflight_batches=depth),
+        store=StoreConfig(dir=str(tmp_path / f"vstore_d{depth}")),
+    )
+    p = Pipeline(cfg)
+    assert p.ingest_shard().embeddings == 20
+    spath = local_store_path(cfg.store.dir, 0)
+    mat = np.asarray(
+        __import__("pyarrow.parquet", fromlist=["read_table"])
+        .read_table(spath)
+        .to_pandas()
+        .iloc[:, 0]
+        .tolist()
+    )
+    np.testing.assert_array_equal(mat, ref_mat)
+    assert json.loads(
+        spath.with_suffix(".paths.json").read_text()) == ref_paths
