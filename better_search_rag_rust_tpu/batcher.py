@@ -97,6 +97,15 @@ class DynamicBatcher:
         self.window_s = window_ms / 1000.0
         self.upload = upload
         self.stats = BatcherStats()
+        #: Bumped by :meth:`swap_engine`. Every resolved future carries the
+        #: ``generation`` of the engine that served it, and
+        #: :attr:`manifest_by_gen` maps generations to row->path manifests —
+        #: so serve loops sharing this batcher always format a response
+        #: with the manifest matching the store that produced its row ids,
+        #: even when a hot swap lands between submit and dispatch.
+        self.generation = 0
+        self.manifest_by_gen: dict = {}
+        self._requested_k = k
         self._dim = engine.store.dim
         self._mat_from = engine.store.matryoshka_from
 
@@ -145,6 +154,38 @@ class DynamicBatcher:
             self.stats.queries += item.nq
             self._nonempty.notify_all()
         return item.future
+
+    def swap_engine(self, engine, manifest=None) -> int:
+        """Hot-swap the engine behind the batcher (the shared-batcher arm
+        of serve's ``{"cmd": "reload"}``): dispatches formed AFTER the swap
+        run on the new engine; batches already in flight finish on the old
+        one and resolve normally (their futures carry the OLD generation).
+        The store dim must match (clients' queries were validated against
+        it); ``k`` re-resolves against the new store's row count.
+        ``manifest`` is the new store's row->path manifest, registered in
+        :attr:`manifest_by_gen` atomically with the generation bump so no
+        dispatch can observe the new generation without its manifest.
+        Returns the new generation.
+
+        Memory caveat: both device stores are resident until the old
+        engine's last reference drops (in-flight handles + callers) — on an
+        HBM-tight chip prefer the batcher-less serve reload, which drops
+        the old store before building the new one."""
+        if engine.store.dim != self._dim:
+            raise ValueError(
+                f"swap_engine: store dim {engine.store.dim} != the dim "
+                f"this batcher was built for ({self._dim})"
+            )
+        k_new = engine._resolve_k(self._requested_k)
+        with self._lock:
+            if self._closed:
+                raise RuntimeError("batcher is closed")
+            self.engine = engine
+            self.k = k_new
+            self._mat_from = engine.store.matryoshka_from
+            self.generation += 1
+            self.manifest_by_gen[self.generation] = manifest
+            return self.generation
 
     def close(self, timeout: float = 30.0) -> None:
         """Stop accepting work, drain everything in flight, join threads."""
@@ -207,9 +248,9 @@ class DynamicBatcher:
                         [emb, np.repeat(emb[-1:], padded - total, axis=0)],
                         axis=0,
                     )
-                handle = self.engine.search_async(
-                    emb, self.k, upload=self.upload
-                )
+                with self._lock:  # engine+k+gen as one consistent snapshot
+                    eng, kk, gen = self.engine, self.k, self.generation
+                handle = eng.search_async(emb, kk, upload=self.upload)
                 with self._lock:
                     self.stats.batches += 1
                     self.stats.batched_queries += total
@@ -218,7 +259,7 @@ class DynamicBatcher:
                     if not p.future.cancelled():
                         p.future.set_exception(exc)
                 continue
-            self._inflight.put((handle, batch))
+            self._inflight.put((handle, eng, gen, batch))
 
     # -- collector thread: collect -> resolve ----------------------------------
 
@@ -227,17 +268,21 @@ class DynamicBatcher:
             got = self._inflight.get()
             if got is None:
                 return
-            handle, batch = got
+            handle, eng, gen, batch = got  # collect on the DISPATCHING engine
             try:
-                ids, dists = self.engine.collect(handle)
+                ids, dists = eng.collect(handle)
             except Exception as exc:  # noqa: BLE001
                 for p in batch:
                     if not p.future.cancelled():
+                        p.future.generation = gen
                         p.future.set_exception(exc)
                 continue
             off = 0
             for p in batch:
                 if not p.future.cancelled():
+                    # Tag BEFORE resolving so a reader never sees a resolved
+                    # future without its generation.
+                    p.future.generation = gen
                     p.future.set_result(
                         (ids[off : off + p.nq], dists[off : off + p.nq])
                     )

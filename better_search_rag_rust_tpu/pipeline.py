@@ -777,9 +777,15 @@ class Pipeline:
         in another process, send ``reload``, and the live server serves the
         reconciled store without a restart; the reference would re-launch
         the whole binary). Response: ``{"id", "reloaded": true, "rows": N}``.
-        Not supported when dispatches go through a shared ``batcher`` (its
-        engine is shared across connections) — that returns an error
-        response and serving continues on the old store.
+        Through a shared ``batcher`` the reload HOT-SWAPS the batcher's
+        engine (``DynamicBatcher.swap_engine``): other connections keep
+        serving without interruption — in-flight batches finish on the old
+        store and every response formats with the manifest of the
+        generation that served it (futures are generation-tagged), so a
+        swap landing between a request's submit and its dispatch still
+        yields correct paths. Note both device stores are resident until
+        the old engine's last reference drops; on an HBM-tight chip prefer
+        per-connection (batcher-less) serving for reloads.
 
         Client-controlled batch sizes are padded up to a small set of fixed
         shapes (powers of two to 1024, then multiples of 1024) before
@@ -807,6 +813,12 @@ class Pipeline:
                 f"top_k={k_serve}; build it with k >= the serve k"
             )
         manifest = self._serve_manifest(int(engine.store.num_rows))
+        if batcher is not None:
+            # Register this store's manifest for the batcher's current
+            # generation: after a hot swap (possibly by ANOTHER connection)
+            # each resolved future formats with the manifest matching the
+            # engine that actually served it.
+            batcher.manifest_by_gen.setdefault(batcher.generation, manifest)
         meta: deque = deque()  # ("error", resp) | ("ok", id, k_req, nq)
         bufs: deque = deque()  # async search handles, aligned with "ok" metas
 
@@ -870,9 +882,10 @@ class Pipeline:
                 )
             return emb, req_id, k_req
 
-        def _path(idx: int) -> str:
-            if manifest is not None and 0 <= idx < len(manifest):
-                return manifest[idx]
+        def _path(idx: int, m=_UNSET) -> str:
+            m = manifest if m is _UNSET else m
+            if m is not None and 0 <= idx < len(m):
+                return m[idx]
             return f"row:{idx}"
 
         def _drain(target: int):
@@ -883,6 +896,7 @@ class Pipeline:
                 yield meta.popleft()[1]
             while len(bufs) > target:
                 handle = bufs.popleft()
+                m = _UNSET
                 if batcher is not None:
                     _, req_id, k_req, nq = meta.popleft()
                     try:
@@ -894,12 +908,19 @@ class Pipeline:
                         while meta and meta[0][0] == "error":
                             yield meta.popleft()[1]
                         continue
+                    # Format with the manifest of the generation that
+                    # served this future (a hot swap may have landed
+                    # between submit and dispatch).
+                    fut_gen = getattr(handle, "generation", None)
+                    if fut_gen is not None:
+                        m = batcher.manifest_by_gen.get(fut_gen, _UNSET)
                 else:
                     ids, dists = engine.collect(handle)
                     _, req_id, k_req, nq = meta.popleft()
                 results = [
                     [
-                        {"path": _path(int(i)), "row": int(i), "distance": float(d)}
+                        {"path": _path(int(i), m), "row": int(i),
+                         "distance": float(d)}
                         for i, d in zip(row_ids[:k_req], row_dists[:k_req])
                     ]
                     for row_ids, row_dists in zip(
@@ -917,12 +938,32 @@ class Pipeline:
             if isinstance(req, dict) and req.get("cmd") == "reload":
                 rid = req.get("id")
                 if batcher is not None:
-                    meta.append(("error", {
-                        "id": rid,
-                        "error": "reload is not supported through a shared "
-                                 "micro-batcher; restart the server",
-                    }))
-                    yield from _drain(depth)
+                    # Shared-batcher hot swap: build the NEW engine first
+                    # (the batcher and other connections keep serving the
+                    # old store meanwhile — note both stores are resident
+                    # until the old engine's last reference drops), then
+                    # swap atomically with its manifest so every future
+                    # formats against the store that served it.
+                    yield from _drain(0)  # in-order response discipline
+                    try:
+                        self._engine = None
+                        self._manifest_cache = _UNSET
+                        new_engine = self.engine()
+                        new_manifest = self._serve_manifest(
+                            int(new_engine.store.num_rows)
+                        )
+                        batcher.swap_engine(new_engine, new_manifest)
+                    except Exception as exc:  # noqa: BLE001 — mid-update
+                        self._engine = None
+                        self._manifest_cache = _UNSET
+                        yield {"id": rid,
+                               "error": f"reload failed: {exc}; retry reload"}
+                        continue
+                    engine = new_engine
+                    manifest = new_manifest
+                    self._warn_encoder_drift("serve")
+                    yield {"id": rid, "reloaded": True,
+                           "rows": int(new_engine.store.num_rows)}
                     continue
                 yield from _drain(0)  # old-engine handles must finish first
                 # Drop every reference to the old engine BEFORE building

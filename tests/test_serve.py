@@ -456,24 +456,30 @@ def test_serve_hot_reload_after_update(tmp_path):
     assert resps[3]["results"][0][0]["path"].endswith("Fresh.java")
 
 
-def test_serve_reload_rejected_with_batcher(served):
-    """reload through a shared micro-batcher answers with an in-order error
-    (the batcher's engine is shared across connections) and serving
-    continues."""
+def test_serve_reload_hot_swaps_batcher(served):
+    """reload through a shared micro-batcher hot-swaps the batcher's
+    engine in place: the response confirms the reload, the generation
+    bumps, and subsequent (and interleaved) queries keep answering with
+    correct paths."""
     from better_search_rag_rust_tpu.batcher import DynamicBatcher
 
     engine = served.engine()
     with DynamicBatcher(engine, k=5, max_batch=8, window_ms=1.0) as b:
+        gen0 = b.generation
         resps = list(served.serve(
             [
-                {"id": 1, "cmd": "reload"},
-                {"id": 2, "query": "public class File3 void method3"},
+                {"id": 1, "query": "public class File2 void method2"},
+                {"id": 2, "cmd": "reload"},
+                {"id": 3, "query": "public class File3 void method3"},
             ],
             batcher=b,
         ))
-    assert [r["id"] for r in resps] == [1, 2]
-    assert "not supported" in resps[0]["error"]
-    assert resps[1]["results"][0][0]["path"].endswith("File3.java")
+        assert b.generation == gen0 + 1
+        assert b.manifest_by_gen[b.generation] is not None
+    assert [r["id"] for r in resps] == [1, 2, 3]
+    assert resps[0]["results"][0][0]["path"].endswith("File2.java")
+    assert resps[1]["reloaded"] is True
+    assert resps[2]["results"][0][0]["path"].endswith("File3.java")
 
 
 def test_serve_reload_midupdate_answers_error_then_heals(tmp_path):
@@ -537,3 +543,60 @@ def test_serve_reload_midupdate_answers_error_then_heals(tmp_path):
     assert "retry" in resps[2]["error"]
     assert resps[3]["reloaded"] is True and resps[3]["rows"] == 6
     assert resps[4]["results"][0][0]["path"].endswith("File3.java")
+
+
+def test_serve_batcher_reload_after_update_two_connections(tmp_path):
+    """Shared-batcher hot reload end to end: corpus edits + update() land
+    in another Pipeline, ONE connection sends reload, and BOTH connections
+    (sharing the batcher) then retrieve the new/edited files with correct
+    paths — including a deletion shifting row ids under the manifest."""
+    from better_search_rag_rust_tpu.batcher import DynamicBatcher
+
+    root = tmp_path / "repo"
+    root.mkdir()
+    for i in range(8):
+        (root / f"File{i}.java").write_text(
+            f"public class File{i} {{ void method{i}() {{}} }}"
+        )
+    cfg = PipelineConfig(
+        corpus=CorpusConfig(root=str(root), extensions=("java",),
+                            files_per_batch=4),
+        encoder=EncoderConfig(backend="hash", dim=96, vocab_size=4096,
+                              max_tokens=64, batch_size=4),
+        store=StoreConfig(dir=str(tmp_path / "vstore")),
+        search=SearchConfig(top_k=5, chunk_rows=256),
+    )
+    build = Pipeline(cfg)
+    build.ingest_shard()
+    build.merge()
+
+    server = Pipeline(cfg.replace(skip_process=True))
+    with DynamicBatcher(server.engine(), k=5, max_batch=8,
+                        window_ms=1.0) as b:
+
+        def conn_a():
+            yield {"id": "a1", "query": "public class File2 void method2"}
+            # another process mutates corpus + store: delete one file
+            # (rows shift!), add one
+            (root / "File0.java").unlink()
+            (root / "Fresh.java").write_text("class Fresh { int meteorite; }")
+            stats = Pipeline(cfg.replace(skip_process=True)).update()
+            assert stats.rows_deleted == 1 and stats.embeddings == 1
+            yield {"id": "a2", "cmd": "reload"}
+            yield {"id": "a3", "query": "class Fresh int meteorite"}
+
+        ra = list(server.serve(conn_a(), batcher=b))
+        assert [r["id"] for r in ra] == ["a1", "a2", "a3"]
+        assert ra[0]["results"][0][0]["path"].endswith("File2.java")
+        assert ra[1]["reloaded"] is True and ra[1]["rows"] == 8
+        assert ra[2]["results"][0][0]["path"].endswith("Fresh.java")
+
+        # second connection opened BEFORE the swap would have cached the
+        # old manifest generation; a fresh connection after the swap (and
+        # even one sharing the batcher mid-life) must format with the
+        # new-generation manifest
+        rb = list(server.serve(
+            [{"id": "b1", "query": "public class File7 void method7"}],
+            batcher=b,
+        ))
+        assert rb[0]["results"][0][0]["path"].endswith("File7.java")
