@@ -323,3 +323,43 @@ def test_compact_battery_summary_fits_capture_channel():
     assert out["battery_wall_s"] == 1321.7
     # the whole line parses back
     assert json.loads(line)["battery"]["encode"]["mfu"] == 0.721
+
+
+def test_bench_main_writes_detail_and_compact_stdout(monkeypatch, tmp_path,
+                                                     capsys):
+    """bench.py's driver channel: for the battery, the FULL result goes to
+    the detail file and stdout's last line is the compact (<=1.5 kB)
+    parseable summary — the exact contract the round-3 artifact broke."""
+    import importlib.util
+    import json
+
+    spec = importlib.util.spec_from_file_location(
+        "bench_main", "/root/repo/bench.py")
+    bench = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(bench)
+
+    big = {"metric": "search_1m_qps", "value": 84000.0,
+           "unit": "queries/sec", "vs_baseline": 379.0, "recall_at_10": 1.0,
+           "mfu": 0.65, "qps_repeats": [84000.0, 83000.0, 82000.0],
+           "spread_pct": 2.4, "kernel": "rescore",
+           "filler": "x" * 4000,  # guarantees the full form would overflow
+           "battery": {
+               "encode": {"metric": "encode_files_per_sec", "value": 1133.0,
+                          "unit": "files/sec", "mfu": 0.72},
+           },
+           "battery_wall_s": 476.4}
+    detail = tmp_path / "detail.json"
+    monkeypatch.setenv("BSR_BENCH_DETAIL", str(detail))
+    monkeypatch.setenv("BENCH_SUITE", "battery")
+
+    from better_search_rag_rust_tpu.bench import suite as S
+
+    monkeypatch.setattr(S, "run_battery_suite", lambda: big)
+    assert bench.main() == 0
+    out_lines = [l for l in capsys.readouterr().out.splitlines() if l.strip()]
+    compact = json.loads(out_lines[-1])
+    assert len(out_lines[-1]) <= 1500
+    assert compact["value"] == 84000.0 and "filler" not in compact
+    assert compact["battery"]["encode"]["mfu"] == 0.72
+    saved = json.loads(detail.read_text())
+    assert saved["filler"] == "x" * 4000  # full detail preserved on disk
