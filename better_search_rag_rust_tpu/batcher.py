@@ -185,6 +185,14 @@ class DynamicBatcher:
             self._mat_from = engine.store.matryoshka_from
             self.generation += 1
             self.manifest_by_gen[self.generation] = manifest
+            # Bound memory across many reloads (a multi-million-row
+            # manifest is big): keep a window of recent generations —
+            # in-flight futures can only be a few dispatches old (the
+            # inflight queue is depth-bounded), so anything 8 swaps back
+            # is unreachable.
+            for g in [g for g in self.manifest_by_gen
+                      if g < self.generation - 8]:
+                del self.manifest_by_gen[g]
             return self.generation
 
     def close(self, timeout: float = 30.0) -> None:
