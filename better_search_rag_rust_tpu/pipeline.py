@@ -688,7 +688,11 @@ class Pipeline:
         emb = self.encoder.get_embeddings(list(texts))
         engine = self.engine()
         ids, dists = engine.search(emb, k)
-        manifest = self._validated_manifest(int(engine.store.num_rows))
+        # Cached + validated once per (engine, manifest) pair: re-parsing
+        # and re-hashing a multi-million-row manifest per query would
+        # dwarf the search itself; the cache invalidates exactly when the
+        # engine does (update()/reload), so the pair stays consistent.
+        manifest = self._serve_manifest(int(engine.store.num_rows))
         out: List[List[Tuple[str, int, float]]] = []
         for row_ids, row_dists in zip(ids, dists):
             ranked = []
