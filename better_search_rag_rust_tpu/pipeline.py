@@ -137,6 +137,13 @@ class Pipeline:
         self._engine: Optional[SearchEngine] = None
         self._manifest_cache = _UNSET
         self._drift_warned: set = set()
+        # Serializes engine builds + manifest-cache mutation: one Pipeline
+        # is shared across ThreadingTCPServer connection threads, and a
+        # reload's clear-then-rebuild racing a concurrent engine() would
+        # build (and hold) a second multi-GB device store.
+        import threading
+
+        self._build_lock = threading.RLock()
 
     # -- lazy pieces -----------------------------------------------------------
 
@@ -387,39 +394,18 @@ class Pipeline:
                     _read_and_tokenize, paths[s : s + bsz]
                 )
 
-        def _collect(inflight, emb=_UNSET) -> None:
+        def _collect(inflight) -> None:
             batch_idx, files_through, kept, pending = inflight
-            if emb is _UNSET:
-                emb = None
-                if pending is not None:
-                    try:
-                        emb = self.encoder.collect(pending)
-                    except Exception as exc:  # log-and-continue, tasks.rs:118-124
-                        host_log(
-                            f"batch {batch_idx} failed ({len(kept)} files): "
-                            f"{exc}"
-                        )
-                        stats.failed_batches += 1
-            on_batch(batch_idx, files_through, kept, emb)
-
-        def _collect_burst(items) -> None:
-            """Collect a window of in-flight batches with ONE packed
-            device->host readback (encoder.collect_many) — the relay's
-            fixed per-readback cost amortizes across the burst. A packed
-            failure falls back to per-batch collects so log-and-continue
-            granularity is preserved."""
-            pendings = [it[3] for it in items if it[3] is not None]
-            if len(pendings) > 1:
+            emb = None
+            if pending is not None:
                 try:
-                    outs = iter(self.encoder.collect_many(pendings))
-                    for it in items:
-                        _collect(it, emb=None if it[3] is None else next(outs))
-                    return
-                except Exception as exc:  # noqa: BLE001 — isolate per batch
-                    host_log(f"packed collect failed ({exc}); "
-                             "falling back to per-batch readbacks")
-            for it in items:
-                _collect(it)
+                    emb = self.encoder.collect(pending)
+                except Exception as exc:  # log-and-continue, tasks.rs:118-124
+                    host_log(
+                        f"batch {batch_idx} failed ({len(kept)} files): {exc}"
+                    )
+                    stats.failed_batches += 1
+            on_batch(batch_idx, files_through, kept, emb)
 
         from collections import deque
 
@@ -453,16 +439,16 @@ class Pipeline:
                     kept,
                     pending,
                 ))
-                if len(inflight) >= depth:
-                    # Drain to ONE still-in-flight batch (the classic
-                    # B-before-C overlap survives the burst): depth 2 is
-                    # the unchanged double-buffer, deeper windows collect
-                    # depth-1 batches per packed readback.
-                    burst = [inflight.popleft()
-                             for _ in range(len(inflight) - 1)]
-                    _collect_burst(burst)
-            _collect_burst(list(inflight))
-            inflight.clear()
+                # Per-batch collects at EVERY depth: the copy_to_host_async
+                # started at dispatch already hides the relay readback, so
+                # deeper windows change queue depth only (chip-measured
+                # neutral), while packed burst readbacks measured -13%
+                # (docs/DESIGN.md round-10 dead ends) — collect_many stays
+                # an encoder API for non-relay consumers.
+                while len(inflight) >= depth:
+                    _collect(inflight.popleft())
+            while inflight:
+                _collect(inflight.popleft())
         finally:
             prefetcher.shutdown(wait=False, cancel_futures=True)
 
@@ -663,11 +649,12 @@ class Pipeline:
         return store
 
     def engine(self, store: Optional[DeviceStore] = None) -> SearchEngine:
-        if self._engine is None:
-            self._engine = SearchEngine(
-                store or self.load_device_store(), self.config.search
-            )
-        return self._engine
+        with self._build_lock:
+            if self._engine is None:
+                self._engine = SearchEngine(
+                    store or self.load_device_store(), self.config.search
+                )
+            return self._engine
 
     # -- text retrieval -----------------------------------------------------------
 
@@ -950,16 +937,18 @@ class Pipeline:
                     # formats against the store that served it.
                     yield from _drain(0)  # in-order response discipline
                     try:
-                        self._engine = None
-                        self._manifest_cache = _UNSET
-                        new_engine = self.engine()
-                        new_manifest = self._serve_manifest(
-                            int(new_engine.store.num_rows)
-                        )
+                        with self._build_lock:
+                            self._engine = None
+                            self._manifest_cache = _UNSET
+                            new_engine = self.engine()
+                            new_manifest = self._serve_manifest(
+                                int(new_engine.store.num_rows)
+                            )
                         batcher.swap_engine(new_engine, new_manifest)
                     except Exception as exc:  # noqa: BLE001 — mid-update
-                        self._engine = None
-                        self._manifest_cache = _UNSET
+                        with self._build_lock:
+                            self._engine = None
+                            self._manifest_cache = _UNSET
                         yield {"id": rid,
                                "error": f"reload failed: {exc}; retry reload"}
                         continue
@@ -973,23 +962,27 @@ class Pipeline:
                 # Drop every reference to the old engine BEFORE building
                 # the new one: the device store can occupy most of HBM
                 # (e.g. the 7.7 GB 10M int8 store on a 16 GB v5e), so two
-                # resident copies would OOM and kill the server.
-                self._engine = None
+                # resident copies would OOM and kill the server. The build
+                # lock makes clear+rebuild atomic against other connection
+                # threads' engine() calls.
                 engine = None
-                self._manifest_cache = _UNSET
                 manifest = None
                 try:
-                    engine = self.engine()
-                    manifest = self._serve_manifest(
-                        int(engine.store.num_rows)
-                    )
+                    with self._build_lock:
+                        self._engine = None
+                        self._manifest_cache = _UNSET
+                        engine = self.engine()
+                        manifest = self._serve_manifest(
+                            int(engine.store.num_rows)
+                        )
                 except Exception as exc:  # noqa: BLE001 — reload mid-update
                     # A reload landing mid-update can pair the NEW parquet
                     # with the OLD manifest (ADVICE r3): answer a retryable
                     # error instead of serving a misaligned pair. The next
                     # request (or reload) rebuilds from scratch.
-                    self._engine = None
-                    self._manifest_cache = _UNSET
+                    with self._build_lock:
+                        self._engine = None
+                        self._manifest_cache = _UNSET
                     engine = None
                     manifest = None
                     yield {"id": rid,
@@ -1005,13 +998,15 @@ class Pipeline:
                 # commits, answering retryable errors meanwhile. Must run
                 # before _parse (dim validation reads engine.store).
                 try:
-                    engine = self.engine()
-                    manifest = self._serve_manifest(
-                        int(engine.store.num_rows)
-                    )
+                    with self._build_lock:
+                        engine = self.engine()
+                        manifest = self._serve_manifest(
+                            int(engine.store.num_rows)
+                        )
                 except Exception as exc:  # noqa: BLE001
-                    self._engine = None
-                    self._manifest_cache = _UNSET
+                    with self._build_lock:
+                        self._engine = None
+                        self._manifest_cache = _UNSET
                     engine = None
                     rid = req.get("id") if isinstance(req, dict) else None
                     meta.append(("error", {
@@ -1061,9 +1056,10 @@ class Pipeline:
         connection runs its own :meth:`serve`; re-parsing a multi-million-row
         manifest per connection is pure waste). With ``num_rows`` the load is
         validated against the store before caching."""
-        if self._manifest_cache is _UNSET:
-            self._manifest_cache = self._validated_manifest(num_rows)
-        return self._manifest_cache
+        with self._build_lock:
+            if self._manifest_cache is _UNSET:
+                self._manifest_cache = self._validated_manifest(num_rows)
+            return self._manifest_cache
 
     def _validated_manifest(self, num_rows: Optional[int]):
         """Load the row->path manifest, refusing torn or misaligned
@@ -1131,9 +1127,11 @@ class Pipeline:
             finally:
                 # Host 0 may have rewritten the store: this host's cached
                 # engine (and its device store) is stale the moment the
-                # barrier releases. Reload lazily on next use so every host
-                # serves the same store version.
+                # barrier releases — and so is the cached row->path
+                # manifest (rows may have shifted). Reload lazily on next
+                # use so every host serves the same store version.
                 self._engine = None
+                self._manifest_cache = _UNSET
             return stats
 
         # Host 0 must reach the barrier even on failure — otherwise every

@@ -444,6 +444,31 @@ def _file_sha(path: Path) -> Optional[str]:
     return hashlib.sha256(path.read_bytes()).hexdigest()
 
 
+def _store_sample_sha(path: Path, blocks: int = 32,
+                      block_bytes: int = 16384) -> str:
+    """Sampled content fingerprint of a (possibly multi-GB) Parquet store:
+    sha256 over the file size plus ``blocks`` evenly spaced reads pinned
+    at offset 0 and EOF (<= 512 KB of IO total). Any row-count change
+    moves the size (PLAIN fixed-size rows); any compaction/append shifts
+    every byte after the edit point, so some sampled block (the EOF block
+    at minimum) changes — while a byte-identical copy (backup restore,
+    image layer) matches exactly even though its mtime differs."""
+    import hashlib
+
+    h = hashlib.sha256()
+    size = path.stat().st_size
+    h.update(str(size).encode())
+    with open(path, "rb") as f:
+        if size <= blocks * block_bytes:
+            h.update(f.read())
+        else:
+            step = (size - block_bytes) / (blocks - 1)
+            for i in range(blocks):
+                f.seek(int(i * step))
+                h.update(f.read(block_bytes))
+    return h.hexdigest()
+
+
 def write_update_commit(store_dir: str | os.PathLike) -> None:
     """Record the committed (store, manifest, attrs) triple — call strictly
     after all three files are in place."""
@@ -453,6 +478,7 @@ def write_update_commit(store_dir: str | os.PathLike) -> None:
     payload = {
         "store_size": st.st_size,
         "store_mtime_ns": st.st_mtime_ns,
+        "store_sample_sha": _store_sample_sha(gpath),
         "rows": parquet_row_count(gpath),
         "manifest_sha": _file_sha(manifest_path(store_dir)),
         "attrs_sha": _file_sha(attrs_path(store_dir)),
@@ -482,8 +508,16 @@ def validate_update_commit(store_dir: str | os.PathLike) -> Optional[str]:
     problems = []
     if (st.st_size, st.st_mtime_ns) != (rec.get("store_size"),
                                         rec.get("store_mtime_ns")):
-        problems.append("global.parquet differs from the last committed "
-                        "update (size/mtime mismatch)")
+        # Slow path: mtime moves on every benign copy/restore of the
+        # store dir (cp -r, rsync, image layers) — refusing a consistent
+        # triple for that would force a full re-ingest for nothing. The
+        # sampled content fingerprint distinguishes "same bytes, new
+        # mtime" (fine) from "different store than the marker committed"
+        # (torn).
+        sample = rec.get("store_sample_sha")
+        if sample is None or _store_sample_sha(gpath) != sample:
+            problems.append("global.parquet differs from the last "
+                            "committed update (content mismatch)")
     # A MISSING sidecar is deliberate stripping (legacy/foreign store), not
     # crash evidence — the atomic renames replace files, never delete them;
     # loaders already degrade gracefully without a manifest. Only an

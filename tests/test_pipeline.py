@@ -893,3 +893,38 @@ def test_update_identity_survives_reembed_stat_failure(
     # and the row is NOT re-embedded again: identity matches on disk
     stats2 = Pipeline(cfg.replace(skip_process=True)).update()
     assert (stats2.rows_reembedded, stats2.embeddings) == (0, 0)
+
+
+def test_update_commit_survives_store_copy_restore(corpus_dir, tmp_path):
+    """A byte-identical rewrite of global.parquet (backup restore, image
+    layer — new mtime, same content) must NOT brick the store: the
+    sampled content fingerprint accepts it. A content change that keeps
+    the byte LENGTH (the case size/row-count checks cannot see) is still
+    refused as torn."""
+    from better_search_rag_rust_tpu.store.vectorstore import (
+        global_store_path,
+    )
+
+    cfg = _config(corpus_dir, tmp_path)
+    Pipeline(cfg).run()
+
+    g = global_store_path(cfg.store.dir)
+    data = bytearray(g.read_bytes())
+    g.write_bytes(bytes(data))  # same bytes, fresh mtime
+
+    ranked = Pipeline(cfg.replace(skip_process=True)).query(
+        ["class Util0 static String helper0"], k=2
+    )[0]
+    assert ranked[0][0].endswith("Util0.java")
+    stats = Pipeline(cfg.replace(skip_process=True)).update()
+    assert (stats.rows_deleted, stats.embeddings) == (0, 0)
+
+    # same-length content divergence: flip bytes mid-file (a data page —
+    # the parquet stays readable, size and row count unchanged)
+    mid = len(data) // 2
+    data[mid: mid + 16] = bytes(16)
+    g.write_bytes(bytes(data))
+    with pytest.raises(RuntimeError, match="torn"):
+        Pipeline(cfg.replace(skip_process=True)).update()
+    with pytest.raises(RuntimeError, match="torn"):
+        Pipeline(cfg.replace(skip_process=True)).query(["class Util0"], k=2)
