@@ -81,6 +81,24 @@ def main() -> None:
     report = p.bench.generate_report()
     stats_json = p.bench.as_json()
 
+    # ---- incremental update across the cluster -----------------------------
+    # Host 0 mutates the corpus and performs the rewrite inside update();
+    # host 1 only passes the barrier — its cached engine AND manifest must
+    # invalidate (a stale manifest would silently row-shift its answers
+    # after the deletion). Both hosts then rebuild collectively and run
+    # the same query; the new file must resolve by PATH on host 0.
+    corpus_root = os.path.join(workdir, "corpus")
+    if jax.process_index() == 0:
+        os.remove(os.path.join(corpus_root, "F03.java"))
+        with open(os.path.join(corpus_root, "Fresh.java"), "w") as f:
+            f.write("class Fresh { int meteorite; }")
+    upd = p.update()
+    if jax.process_index() == 0:
+        assert upd.rows_deleted == 1 and upd.embeddings == 1, upd
+
+    ranked = p.query(["class Fresh int meteorite"], k=3)[0]
+    post_update_rows = int(p.engine().store.num_rows)
+
     if jax.process_index() == 0:
         out = {
             "merged": merged,
@@ -89,6 +107,8 @@ def main() -> None:
             "dists": dists.tolist(),
             "report_has_worker_op": "worker_op" in report,
             "bench": json.loads(stats_json),
+            "post_update_rows": post_update_rows,
+            "post_update_path": ranked[0][0],
         }
         with open(os.path.join(workdir, "result.json"), "w") as f:
             json.dump(out, f)

@@ -82,8 +82,19 @@ def test_two_process_pipeline_matches_single_process(tmp_path):
     op = result["bench"]["worker_op"]
     assert abs(op["min_s"] - 0.25) < 0.05 and abs(op["max_s"] - 0.5) < 0.05
     assert op["items"] == 20
+    # Cluster-wide incremental update: host 0 rewrote (delete 1, add 1),
+    # host 1 invalidated its caches at the barrier, and the post-update
+    # collective query resolves the new file by path through the
+    # validated manifest.
+    assert result["post_update_rows"] == 10
+    assert result["post_update_path"].endswith("Fresh.java")
 
-    # Single-process reference run on the identical corpus.
+    # Single-process reference run on an identical PRISTINE corpus (the
+    # workers' update step mutated the shared one: F03 deleted, Fresh
+    # added — the comparison targets the pre-update ingest).
+    corpus = tmp_path / "corpus_solo"
+    _make_corpus(corpus)
+
     from better_search_rag_rust_tpu.config import (
         CorpusConfig,
         EncoderConfig,
