@@ -25,9 +25,11 @@ step() {
   fi
 }
 
-step chip_exactness   2400 python scripts/chip_exactness.py
+# Slow relay states push the full sweep past an hour (round-10 measured
+# ~2x 3300 s) — give it headroom; 0 failures is the only acceptable result.
+step chip_exactness   7200 python scripts/chip_exactness.py
 step encoder_parity    900 python scripts/chip_encoder_parity.py
-for suite in search_1m search_10m_mat256 encode finetune pipeline_nomic; do
+for suite in search_1m search_1m_f32 search_10m_mat256 encode finetune pipeline_nomic; do
   step "bench_${suite}" 1800 env BENCH_SUITE="${suite}" python bench.py
 done
 
