@@ -863,7 +863,12 @@ class Pipeline:
                     raise ValueError(f"vectors must be rank-2, got shape {emb.shape}")
             # Fail bad dims HERE (per-request error response), not inside the
             # already-running stream; acceptance mirrors engine._prepare_queries.
-            store = engine.store
+            # In batcher mode validate against the batcher's CURRENT engine:
+            # a hot swap by another connection may have changed the
+            # matryoshka acceptance, and this connection's local engine
+            # snapshot would reject (or accept) queries the serving store
+            # doesn't.
+            store = (batcher.engine if batcher is not None else engine).store
             if emb.shape[1] != store.dim and not (
                 store.matryoshka_from is not None
                 and emb.shape[1] == store.matryoshka_from
@@ -901,10 +906,14 @@ class Pipeline:
                         continue
                     # Format with the manifest of the generation that
                     # served this future (a hot swap may have landed
-                    # between submit and dispatch).
+                    # between submit and dispatch). A generation pruned
+                    # from the window (a client-paced connection sitting
+                    # on an undrained handle across many reloads) degrades
+                    # to "row:N" — fail safe, never a stale manifest's
+                    # silently wrong path.
                     fut_gen = getattr(handle, "generation", None)
                     if fut_gen is not None:
-                        m = batcher.manifest_by_gen.get(fut_gen, _UNSET)
+                        m = batcher.manifest_by_gen.get(fut_gen, None)
                 else:
                     ids, dists = engine.collect(handle)
                     _, req_id, k_req, nq = meta.popleft()
@@ -1025,9 +1034,19 @@ class Pipeline:
             nq = emb.shape[0]
             if batcher is not None:
                 # The batcher pads/coalesces itself and resolves to exactly
-                # this request's rows.
+                # this request's rows. submit() re-validates against the
+                # batcher's CURRENT store (authoritative across hot swaps)
+                # and raises on mismatch or a closed batcher — answer an
+                # in-order error, never kill the stream. Submit BEFORE
+                # appending meta so a raise leaves no orphaned entry.
+                try:
+                    handle = batcher.submit(emb)
+                except Exception as exc:  # noqa: BLE001
+                    meta.append(("error", {"id": req_id, "error": str(exc)}))
+                    yield from _drain(depth)
+                    continue
                 meta.append(("ok", req_id, k_req, nq))
-                bufs.append(batcher.submit(emb))
+                bufs.append(handle)
                 yield from _drain(depth)
                 continue
             padded = _serve_batch_shape(nq)
@@ -1273,25 +1292,24 @@ class Pipeline:
                     mat[i] = vec
                 for i, a in refresh.items():
                     attrs[i] = a
-                if deleted and mat.size:
+                if deleted:
                     keep = np.ones(len(manifest), dtype=bool)
                     keep[deleted] = False
-                    # In-place blocked compaction: shift kept rows down
-                    # without materializing a second full matrix.
-                    write = 0
-                    blk = 65536
-                    for start in range(0, len(manifest), blk):
-                        sel = keep[start:start + blk]
-                        n = int(sel.sum())
-                        if n:
-                            mat[write:write + n] = mat[start:start + blk][sel]
-                            write += n
-                    mat = mat[:write]
-                if deleted:
-                    keep_l = np.ones(len(manifest), dtype=bool)
-                    keep_l[deleted] = False
-                    manifest = [p for j, p in enumerate(manifest) if keep_l[j]]
-                    attrs = [a for j, a in enumerate(attrs) if keep_l[j]]
+                    if mat.size:
+                        # In-place blocked compaction: shift kept rows down
+                        # without materializing a second full matrix.
+                        write = 0
+                        blk = 65536
+                        for start in range(0, len(manifest), blk):
+                            sel = keep[start:start + blk]
+                            n = int(sel.sum())
+                            if n:
+                                mat[write:write + n] = \
+                                    mat[start:start + blk][sel]
+                                write += n
+                        mat = mat[:write]
+                    manifest = [p for j, p in enumerate(manifest) if keep[j]]
+                    attrs = [a for j, a in enumerate(attrs) if keep[j]]
                 if mat.size:
                     gstore.append_many(mat)
                 if appended:

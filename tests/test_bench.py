@@ -332,9 +332,10 @@ def test_bench_main_writes_detail_and_compact_stdout(monkeypatch, tmp_path,
     parseable summary — the exact contract the round-3 artifact broke."""
     import importlib.util
     import json
+    from pathlib import Path
 
     spec = importlib.util.spec_from_file_location(
-        "bench_main", "/root/repo/bench.py")
+        "bench_main", Path(__file__).resolve().parents[1] / "bench.py")
     bench = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(bench)
 

@@ -600,3 +600,23 @@ def test_serve_batcher_reload_after_update_two_connections(tmp_path):
             batcher=b,
         ))
         assert rb[0]["results"][0][0]["path"].endswith("File7.java")
+
+
+def test_serve_batcher_submit_error_answers_not_kills(served):
+    """A batcher.submit failure (e.g. the batcher closed underneath a
+    live connection) answers an in-order error response — the stream
+    survives, no orphaned meta entry desyncs later responses."""
+    from better_search_rag_rust_tpu.batcher import DynamicBatcher
+
+    b = DynamicBatcher(served.engine(), k=5, max_batch=8, window_ms=1.0)
+    b.close()
+    resps = list(served.serve(
+        [
+            {"id": 1, "query": "public class File1 void method1"},
+            {"id": 2, "query": "public class File2 void method2"},
+        ],
+        batcher=b,
+    ))
+    assert [r["id"] for r in resps] == [1, 2]
+    assert "closed" in resps[0]["error"]
+    assert "closed" in resps[1]["error"]
