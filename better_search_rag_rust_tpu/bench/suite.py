@@ -802,6 +802,12 @@ def run_battery_suite() -> dict:
         ("serve_open", lambda: run_serve_suite(
             base="search_1m", clients=64, outstanding=8,
             requests_per_client=256)),
+        # Full-dimension 10M int8 — the highest-MFU config (0.71 at the
+        # 394 TOPS int8 peak; a 7.7 GB store only the int8 lattice fits
+        # on one v5e) built on-device by the chunked >half-HBM fill.
+        ("search_10m_int8", lambda: run_search_suite(
+            "search_10m_int8",
+            dataclasses.replace(SUITES["search_10m_int8"], iters=4))),
         ("encode", run_encode_suite),
         ("jabref", _run_jabref),
         ("serve_100k", lambda: run_serve_suite(

@@ -232,7 +232,7 @@ def test_battery_suite_assembles_headline(monkeypatch):
     assert out["value"] == 42.0
     assert set(out["battery"]) == {
         "search_1m_int8", "search_10m_int8_mat256", "search_1m_f32",
-        "encode", "jabref", "serve_100k", "serve_open",
+        "search_10m_int8", "encode", "jabref", "serve_100k", "serve_open",
     }
     assert "search_1m" in calls
 
@@ -242,7 +242,7 @@ def test_battery_suite_assembles_headline(monkeypatch):
     assert out["value"] == 42.0
     assert set(out["battery_skipped"]) == {
         "search_1m_int8", "search_10m_int8_mat256", "search_1m_f32",
-        "encode", "jabref", "serve_100k", "serve_open",
+        "search_10m_int8", "encode", "jabref", "serve_100k", "serve_open",
     }
 
     # a failing sub-suite surfaces as an error object, not a crash
