@@ -620,3 +620,54 @@ def test_serve_batcher_submit_error_answers_not_kills(served):
     assert [r["id"] for r in resps] == [1, 2]
     assert "closed" in resps[0]["error"]
     assert "closed" in resps[1]["error"]
+
+
+def test_swap_engine_contract(served, tmp_path):
+    """swap_engine pins its contract: dim mismatch raises (clients
+    validated against the old dim), the generation window prunes to the
+    last 8 manifests, and k re-resolves against the new store."""
+    import numpy as np
+
+    from better_search_rag_rust_tpu.batcher import DynamicBatcher
+    from better_search_rag_rust_tpu.config import SearchConfig
+    from better_search_rag_rust_tpu.ops import SearchEngine
+    from better_search_rag_rust_tpu.parallel.mesh import create_mesh
+    from better_search_rag_rust_tpu.store import DeviceStore
+
+    mesh = create_mesh()
+    engine = served.engine()
+    with DynamicBatcher(engine, k=5, max_batch=8, window_ms=1.0) as b:
+        wrong_dim = SearchEngine(
+            DeviceStore.from_host(
+                np.random.default_rng(0)
+                .standard_normal((16, 32))
+                .astype(np.float32),
+                mesh,
+            ),
+            SearchConfig(top_k=5),
+        )
+        with pytest.raises(ValueError, match="dim"):
+            b.swap_engine(wrong_dim)
+
+        dim = engine.store.dim
+        small = SearchEngine(
+            DeviceStore.from_host(
+                np.random.default_rng(1)
+                .standard_normal((3, dim))
+                .astype(np.float32),
+                mesh,
+            ),
+            SearchConfig(top_k=5),
+        )
+        for i in range(12):
+            gen = b.swap_engine(small, manifest=[f"gen{i}"] * 3)
+        assert gen == 12
+        # window: the current + 8 previous generations retained
+        assert set(b.manifest_by_gen) == set(range(4, 13))
+        assert b.k == 3  # re-resolved against the 3-row store
+        # a swapped-in engine actually serves
+        q = np.asarray(small.store.effective_matrix()[1], dtype=np.float32)
+        ids, _ = b.submit(q).result()
+        assert int(ids[0, 0]) == 1
+    with pytest.raises(RuntimeError, match="closed"):
+        b.swap_engine(small)
