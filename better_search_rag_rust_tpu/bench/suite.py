@@ -14,6 +14,8 @@ the numbers BASELINE.json asks for:
                           int8 lattice (exact integer scoring, 2x MXU rate)
 * ``search_10m_int8``   — 10M x FULL 768-d on one chip (7.7 GB resident;
                           a scale bf16 cannot fit)
+* ``search_1m_f32``     — the reference's own store dtype (XLA kernels;
+                          the honest dtype-parity point)
 * ``pipeline``          — synthetic-corpus ingest throughput (hash encoder)
 * ``encode``            — nomic forward throughput (random init), files/sec
 * ``serve``             — many-concurrent-clients q/s through the dynamic
