@@ -26,6 +26,7 @@
 #include <cstring>
 #include <string>
 #include <thread>
+#include <unordered_map>
 #include <vector>
 
 namespace {
@@ -122,8 +123,17 @@ inline bool is_word(uint8_t c) {  // after lowering
 
 constexpr int32_t PAD_ID = 0, CLS_ID = 1, SEP_ID = 2, NUM_SPECIAL = 10;
 
+// token -> id memo, mirroring the Python path's MAX_CACHE-bounded memo
+// (models/tokenizer.py): code/NL corpora repeat tokens heavily, and one
+// blake2b compress (~12x8 G rounds) per OCCURRENCE dominated the loop —
+// the memo takes it to once per DISTINCT token (chip-host measured 2.9k
+// -> 9k+ files/s at B=256, scripts/proto_r5_tok.py). Caching cannot
+// change any id: hits return exactly the digest the miss computed.
+using TokenCache = std::unordered_map<std::string, int32_t>;
+constexpr size_t MAX_CACHE = 1u << 20;
+
 void tokenize_one(const char* text, int32_t max_tokens, int32_t vocab,
-                  int32_t* ids, int32_t* mask) {
+                  int32_t* ids, int32_t* mask, TokenCache* cache) {
   const uint64_t span = (uint64_t)(vocab - NUM_SPECIAL);
   const int32_t body = max_tokens - 2;
   std::fill(ids, ids + max_tokens, PAD_ID);
@@ -152,8 +162,17 @@ void tokenize_one(const char* text, int32_t max_tokens, int32_t vocab,
       tok.push_back((char)c);
       p++;
     }
-    uint64_t d = blake2b8((const uint8_t*)tok.data(), tok.size());
-    ids[1 + n] = (int32_t)(NUM_SPECIAL + (d % span));
+    int32_t id;
+    auto it = cache->find(tok);
+    if (it != cache->end()) {
+      id = it->second;
+    } else {
+      uint64_t d = blake2b8((const uint8_t*)tok.data(), tok.size());
+      id = (int32_t)(NUM_SPECIAL + (d % span));
+      if (cache->size() >= MAX_CACHE) cache->clear();
+      cache->emplace(tok, id);
+    }
+    ids[1 + n] = id;
     n++;
   }
   ids[1 + n] = SEP_ID;
@@ -176,12 +195,13 @@ int32_t bsr_tokenize(const char** texts, int32_t n, int32_t max_tokens,
   nthreads = std::min(nthreads, n);
   std::atomic<int32_t> next(0);
   auto work = [&]() {
+    TokenCache cache;  // per-thread: no sharing, no locks, batch-scoped
     for (;;) {
       int32_t i = next.fetch_add(1);
       if (i >= n) return;
       tokenize_one(texts[i], max_tokens, vocab_size,
                    out_ids + (size_t)i * max_tokens,
-                   out_mask + (size_t)i * max_tokens);
+                   out_mask + (size_t)i * max_tokens, &cache);
     }
   };
   std::vector<std::thread> pool;
