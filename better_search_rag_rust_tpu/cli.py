@@ -83,7 +83,8 @@ def _add_common(p: argparse.ArgumentParser) -> None:
                       choices=["bfloat16", "float32"])
     srch.add_argument("--chunk-rows", type=int, default=16384)
     srch.add_argument("--search-kernel", default="auto",
-                      choices=["auto", "global", "scan", "blockmax", "pallas", "rescore"])
+                      choices=["auto", "global", "scan", "blockmax", "pallas",
+                               "rescore", "f32cert"])
     srch.add_argument("--rescore-argmax", default="auto",
                       choices=["auto", "off"],
                       help="argmax fast path of the rescore kernel "

@@ -167,8 +167,19 @@ class SearchConfig:
     #: (chunked running top-k), "blockmax" (chunked hierarchical merge),
     #: "pallas" (fused kernel), "rescore" (sims-free: blockmax-only pass +
     #: gather selected store rows + bitwise-exact rescore — wins on huge
-    #: low-dim shards), or "auto" (pick by shard size / dim / k).
+    #: low-dim shards), "f32cert" (certified two-stage for f32 stores:
+    #: bounded-error Mosaic selection + XLA-HIGHEST rescore + in-program
+    #: exactness certificate with dense fallback), or "auto" (pick by
+    #: shard size / dim / dtype / k).
     kernel: str = "auto"
+    #: Certified f32 fast path routing: "auto" (real-TPU f32 shards
+    #: >= 2^19 rows at k <= 128 — the chip-measured win: 17.3k vs 13.4k
+    #: q/s at 1M x 768), "on" (force everywhere — tests use this to
+    #: drive both certificate branches), "off". Exactness never depends
+    #: on this knob: the path carries a sound in-program certificate and
+    #: falls back to the dense oracle-arithmetic branch when coverage
+    #: cannot be proven (ops/topk.rescore_f32_certified).
+    f32_certified: str = "auto"
     #: Argmax fast path for the rescore kernel: the bm pass also emits
     #: per-unit argmax + second max (free — hides under the MXU), so the
     #: selected units' top rows need no gather at all; only "danger"

@@ -428,9 +428,47 @@ class SearchEngine:
 
     # -- compilation -----------------------------------------------------------
 
+    def _f32_cert_wins(self, k_eff: int) -> bool:
+        """Route f32 stores to the certified two-stage path
+        (:func:`..topk.rescore_f32_certified`) when it is the measured
+        win: real-TPU backend (Mosaic selection + XLA-HIGHEST rescore;
+        on CPU the dense path is already exact-and-cheap), big shards
+        (the pass amortizes over >= 2^19 rows — same floor as
+        ``_rescore_wins``), and k small enough that the fixed ks=256
+        candidate budget covers the certificate margin (chip-measured
+        cert rate 1.000 at k=100, 1M x 768;
+        scripts/proto_f32_rescore3.py). ``f32_certified="on"`` forces
+        the path anywhere (tests drive both cert branches with it);
+        "off" disables. Exactness never depends on the routing: the
+        in-program certificate falls back to the dense branch whenever
+        coverage cannot be proven."""
+        mode = getattr(self.config, "f32_certified", "auto")
+        if mode == "off" or jnp.dtype(self.store.data.dtype) != jnp.float32:
+            return False
+        if k_eff > 128:
+            return False
+        if mode == "on":
+            return True
+        if jax.default_backend() != "tpu":
+            return False
+        if self.store.per_device_rows < 1 << 19:
+            return False
+        from .topk_pallas import pick_bm2_row_tile
+
+        try:
+            rows_pad = self.store.per_device_rows
+            rows_pad += (-rows_pad) % 1024
+            pick_bm2_row_tile(rows_pad, self.store.data.shape[1], 512,
+                              8, 256, 4)
+        except ValueError:
+            return False
+        return True
+
     def _resolve_kernel(self, k_eff: int) -> str:
         kernel = self.config.kernel
         if kernel == "auto":
+            if self._f32_cert_wins(k_eff):
+                return "f32cert"
             if self._rescore_wins(k_eff):
                 return "rescore"
             # Dense two-stage selection with macro chunking handles any
@@ -701,6 +739,13 @@ class SearchEngine:
 
         def shard_fn(shard, queries_cast):
             base = jax.lax.axis_index(DATA_AXIS) * per_dev
+            if kernel == "f32cert":
+                from .topk import rescore_f32_certified
+
+                return rescore_f32_certified(
+                    shard, queries_cast, k_eff, base, num_rows,
+                    q_tile=max(8, min(q, 512)),
+                )
             if kernel in ("global", "pallas"):
                 return global_topk(
                     shard, queries_cast, k_eff, base, num_rows, q_tile,

@@ -903,6 +903,234 @@ def rescore_topk(
     return vals, ids
 
 
+#: Sound single-bf16-pass error bound for NORMALIZED operands: rounding
+#: each operand to bf16 perturbs it by <= 2^-9 relative (RN), so
+#: |s^ - s| <= 2^-8 * ||q|| * ||r|| (+ f32 accumulation slack added
+#: per-call as D * 2^-24). The 1.25 factor covers a non-RN conversion
+#: mode. Chip-measured max error on 1M x 768 normalized rows: 1.4e-3
+#: (scripts/proto_f32_rescore.py Q2) — 3.5x inside this bound.
+F32_CERT_EPS0 = float(2.0 ** -8 * 1.25)
+
+
+def rescore_f32_certified(
+    shard: jax.Array,
+    queries_cast: jax.Array,
+    k: int,
+    base: jax.Array,
+    num_rows: int,
+    q_tile: int = 512,
+    ks: int = 256,
+    kg: int = 512,
+) -> Tuple[jax.Array, jax.Array]:
+    """Certified two-stage exact top-k for **f32 shards on real TPUs** —
+    sims-free selection at MXU rate, oracle-arithmetic rescore, and a
+    sound in-program certificate that falls back to the dense path when
+    it cannot prove exactness.
+
+    The obstacle this clears: Mosaic f32 dots are NOT the f32 oracle's
+    arithmetic (default = one bf16 pass; even precision=HIGHEST differs
+    from XLA HIGHEST by ~ulps — :func:`..topk_pallas
+    .pallas_scoring_exact_for`), so the bf16 rescore pipeline cannot
+    simply run on f32, and the dense XLA path pays 6-pass HIGHEST sims
+    over the whole store (chip-measured 76.4 ms per 1024 queries at
+    1M x 768 — 13.4k q/s, MFU 0.10). The split that works:
+
+    1. **Selection by bounded-error arithmetic.** One Mosaic bm pass
+       over the f32 shard (single bf16 pass, full MXU rate, nothing
+       store-sized written) yields 8-row unit maxima ``bm^`` with
+       ``|bm^ - max| <= EPS1`` (:data:`F32_CERT_EPS0`; operands are
+       normalized rows/queries). Two-level group selection keeps the
+       top ``ks`` units per query — ``ks`` is sized so that on
+       uncorrelated data every row within ``EPS1`` of the true k-th
+       score lands in a selected unit (chip-measured: cert pass rate
+       1.000 at ks=256/kg=512, 0.972 at ks=192, 1M x 768, k=100).
+    2. **Exact scores from XLA.** :func:`..topk_pallas.gather_rows`
+       DMA-compacts each query's candidate rows (bit-exact movement);
+       the scores are then 2D XLA HIGHEST dots via an 8-query
+       keep-row-r arrangement. Chip-verified: XLA HIGHEST dots are
+       bitwise SHAPE-INDEPENDENT (subset and keep-row-r dots equal the
+       full-store matmul bit for bit — scripts/proto_f32_rescore.py Q1),
+       so candidate scores equal the oracle's and the positional-tie
+       finalize (candidates ordered by ascending row id) reproduces the
+       oracle's (score desc, id asc) order exactly.
+    3. **The certificate.** With ``thresh = max(first-excluded unit
+       bm^, first-excluded group max) + EPS1``: every non-candidate
+       row's true score is ``<= thresh`` (its unit/group max + error
+       bound), so ``exact_kth > thresh`` proves no outside row belongs
+       in (or ties into) the top-k. Per tile, ``lax.cond`` keeps the
+       certified fast result or recomputes densely (sims + hierarchical
+       selection, identical to the ``global``-style XLA branch) — so
+       exactness NEVER depends on the bound being tight: clustered /
+       duplicate-heavy stores simply fail the cert and take the dense
+       branch (ids identical, chip sweep enforces).
+
+    Measured (v5e, 1M x 768 f32, 1024 queries, k=100): 59.0 ms vs 76.4
+    dense = 17.3k q/s, ids + values bitwise equal to the serial oracle,
+    cert rate 1.000 (scripts/proto_f32_rescore3.py p2_8_256). Reference
+    capability: the reference's store IS f32
+    (src/vectorstore/polars.rs:35-37); this is its honest-dtype fast
+    path.
+    """
+    from .topk_pallas import (
+        bm2_emit_width, default_interpret, gather_rows,
+        matmul_blockmax2_only, pick_bm2_row_tile,
+    )
+
+    sub, block, cpg = 8, 256, 16
+    rows_valid, d = shard.shape
+    if jnp.dtype(shard.dtype) != jnp.float32:
+        raise ValueError(f"certified path is f32-only, got {shard.dtype}")
+    q = queries_cast.shape[0]
+    q_tile = max(8, (min(q_tile, q) // 8) * 8)
+    rows_pad = _round_up(rows_valid, 1024)
+    if rows_pad != rows_valid:
+        shard = jnp.pad(shard, ((0, rows_pad - rows_valid), (0, 0)))
+    nunits = rows_pad // sub
+    ks = min(ks, nunits)
+    if k > ks or ks % cpg:
+        raise ValueError(f"need k <= ks ({k} > {ks}) and ks % {cpg} == 0")
+    interpret = default_interpret()
+    # geometry feasibility (row tile + coarse emit) — engine routes only
+    # stores where this holds; raise loudly otherwise
+    rt = pick_bm2_row_tile(rows_pad, d, q_tile, sub, block, 4)
+    ew = bm2_emit_width(rows_pad, rt, sub, block)
+
+    base_i32 = base.astype(jnp.int32) if hasattr(base, "astype") else (
+        jnp.int32(base))
+    total_valid = jnp.minimum(jnp.int32(rows_valid), num_rows - base_i32)
+    int_max = jnp.iinfo(jnp.int32).max
+    eps1 = jnp.float32(F32_CERT_EPS0 + d * 2.0 ** -24)
+
+    pad_q = (-q) % q_tile
+    padded_queries = (
+        jnp.concatenate([queries_cast,
+                         jnp.zeros((pad_q, d), shard.dtype)])
+        if pad_q else queries_cast
+    )
+    n_tiles = padded_queries.shape[0] // q_tile
+    tiles = padded_queries.reshape(n_tiles, q_tile, d)
+    nb_dense = rows_pad // BLOCK
+
+    def finalize(cand_sims, cand_ids, t):
+        """Per-16 reduce + positional-tie top-k (cand ordered by
+        ascending global row id => stable ties = lowest id, the
+        oracle's discipline)."""
+        c = cand_sims.shape[1]
+        if c >= 4 * k and c % 16 == 0:
+            nr = c // 16
+            s3 = cand_sims.reshape(t, nr, 16)
+            rm = jnp.max(s3, axis=2)
+            kr = min(k, nr)
+            _, rpos = _fast_topk(rm, kr)
+            rpos = jnp.sort(rpos, axis=1)
+            cand_sims = jnp.take_along_axis(
+                s3, rpos[:, :, None], axis=1).reshape(t, kr * 16)
+            cand_ids = jnp.take_along_axis(
+                cand_ids.reshape(t, nr, 16), rpos[:, :, None], axis=1
+            ).reshape(t, kr * 16)
+        if cand_sims.shape[1] < k:
+            pad = k - cand_sims.shape[1]
+            cand_sims = jnp.pad(cand_sims, ((0, 0), (0, pad)),
+                                constant_values=PAD_SIM)
+            cand_ids = jnp.pad(cand_ids, ((0, 0), (0, pad)),
+                               constant_values=int_max)
+        top_vals, p = _fast_topk(cand_sims, k)
+        return top_vals, jnp.take_along_axis(cand_ids, p, axis=1)
+
+    def tile_fn(q_block):
+        t = q_block.shape[0]
+        outs = matmul_blockmax2_only(
+            q_block, shard, total_valid, interpret=interpret,
+            sub=sub, block=block, emit_block=bool(ew), emit_argmax=False,
+            emit_width=ew or block,
+        )
+        if not ew:
+            outs = (outs,)
+        bms_t = outs[0]
+        bmi_t = outs[-1] if ew else None
+        if bmi_t is not None:
+            gmax = bmi_t.T                       # [T, R/ew] — fused, free
+            gw = ew // sub
+        else:
+            gw = 32
+            gmax = jnp.max(bms_t.T.reshape(t, nunits // gw, gw), axis=2)
+        ng = gmax.shape[1]
+        kg_t = min(kg, ng - 1)
+        gvals, gids = _fast_topk(gmax, kg_t + 1)
+        gexcl = gvals[:, kg_t]                   # best EXCLUDED group
+        gids = jnp.sort(gids[:, :kg_t], axis=1)
+        pool = jnp.take_along_axis(
+            bms_t.T.reshape(t, ng, gw), gids[:, :, None], axis=1,
+            mode="promise_in_bounds",
+        ).reshape(t, kg_t * gw)
+        ks_t = min(ks, pool.shape[1] - 1)
+        ks_t -= ks_t % cpg
+        if ks_t < k:
+            raise ValueError(
+                f"certified pool too small: ks_t={ks_t} < k={k} "
+                f"(pool {pool.shape[1]}) — store too small for this path"
+            )
+        vals, pos = _fast_topk(pool, ks_t + 1)
+        uexcl = vals[:, ks_t]                    # best EXCLUDED pool unit
+        g_of = jnp.take_along_axis(gids, pos[:, :ks_t] // gw, axis=1,
+                                   mode="promise_in_bounds")
+        uids = jnp.sort(g_of * gw + pos[:, :ks_t] % gw, axis=1)
+
+        rows = gather_rows(shard, uids, unit=sub, cpg=cpg,
+                           interpret=interpret)   # [T, ks_t*sub, D]
+        c = ks_t * sub
+
+        def group_fn(args):
+            q8, r8 = args                        # [8, D], [8, c, D]
+            s = xla_sims(q8, r8.reshape(8 * c, d))      # [8, 8c] HIGHEST
+            return s.reshape(8, 8, c)[jnp.arange(8), jnp.arange(8)]
+
+        sims = jax.lax.map(
+            group_fn,
+            (q_block.reshape(t // 8, 8, d), rows.reshape(t // 8, 8, c, d)),
+        ).reshape(t, c)
+        rid = (
+            uids[:, :, None] * sub
+            + jnp.arange(sub, dtype=jnp.int32)[None, None, :]
+        ).reshape(t, c)
+        ok = rid < total_valid
+        sims = jnp.where(ok, sims, PAD_SIM)
+        cand_ids = jnp.where(ok, base_i32 + rid, int_max)
+        fast_vals, fast_ids = finalize(sims, cand_ids, t)
+        thresh = jnp.maximum(uexcl, gexcl) + eps1
+        cert = jnp.all(fast_vals[:, k - 1] > thresh)
+
+        def dense(_):
+            """Oracle-arithmetic dense recompute — the same sims +
+            hierarchical-selection shape as the rescore XLA branch."""
+            local_ids = jnp.arange(rows_pad, dtype=jnp.int32)
+            s = xla_sims(q_block, shard)
+            s = jnp.where((local_ids < total_valid)[None, :], s, PAD_SIM)
+            bm = jnp.max(s.reshape(t, nb_dense, BLOCK), axis=2)
+            kb = min(k, nb_dense)
+            bids = jnp.sort(_fast_topk(bm, kb)[1], axis=1)
+            cand = jnp.take_along_axis(
+                s.reshape(t, nb_dense, BLOCK), bids[:, :, None], axis=1,
+                mode="promise_in_bounds",
+            ).reshape(t, kb * BLOCK)
+            lrows = (
+                bids[:, :, None] * BLOCK
+                + jnp.arange(BLOCK, dtype=jnp.int32)[None, None, :]
+            ).reshape(t, kb * BLOCK)
+            cand = jnp.where(lrows < total_valid, cand, PAD_SIM)
+            cids = jnp.where(lrows < total_valid, base_i32 + lrows,
+                             int_max)
+            return finalize(cand, cids, t)
+
+        return jax.lax.cond(cert, lambda _: (fast_vals, fast_ids),
+                            dense, None)
+
+    vals, ids = jax.lax.map(tile_fn, tiles)
+    vals = vals.reshape(n_tiles * q_tile, k)[:q]
+    ids = ids.reshape(n_tiles * q_tile, k)[:q]
+    return vals, ids
+
+
 # ---------------------------------------------------------------------------
 # Per-device scan
 # ---------------------------------------------------------------------------

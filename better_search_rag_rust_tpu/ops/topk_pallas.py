@@ -733,6 +733,85 @@ def gather_rescore(
     return out
 
 
+def _make_gather_rows_kernel(cpg: int, unit: int):
+    def _kernel(ids_ref, *refs):
+        o_ref = refs[-1]
+        for r in range(8):
+            for u in range(cpg):
+                o_ref[r, u * unit:(u + 1) * unit, :] = refs[r * cpg + u][:]
+
+    return _kernel
+
+
+@functools.partial(jax.jit, static_argnames=("unit", "cpg", "interpret"))
+def gather_rows(
+    shard: jax.Array,
+    ids: jax.Array,
+    *,
+    unit: int = 8,
+    cpg: int = 16,
+    interpret: bool = False,
+) -> jax.Array:
+    """Pure candidate-row gather: ``rows [T, KS*unit, D]`` of each query's
+    ``KS`` selected ``unit``-row store blocks (``ids [T, KS]`` int32 block
+    ids into ``shard [R, D]``) — :func:`gather_rescore` minus the dot.
+
+    No arithmetic happens here: DMA is dtype-exact data movement, so the
+    output rows are bit-for-bit store rows regardless of dtype or
+    backend. The f32 certified-rescore path needs this: its candidate
+    scores must come from XLA HIGHEST dots (the f32 oracle's arithmetic,
+    which Mosaic cannot reproduce bitwise — ``pallas_scoring_exact_for``),
+    so the kernel's job is only to compact each query's candidate rows
+    into a dense buffer the XLA dot can read. An XLA row-take would
+    rescan the full source per call (~source_bytes at ~310 GB/s — the
+    recorded gather dead end); this pipeline moves exactly the candidate
+    bytes.
+
+    Constraints: ``T % 8 == 0``; ``KS % cpg == 0``; ``R % unit == 0``;
+    ``unit`` a multiple of the dtype's sublane tile
+    (:func:`sublane_tile_for`); every id in ``[0, R/unit)``."""
+    r, d = shard.shape
+    t, ks = ids.shape
+    if t % 8 or ks % cpg or r % unit or unit % sublane_tile_for(shard.dtype):
+        raise ValueError(
+            f"layout: need T%8==0 (got {t}), KS%cpg==0 (got {ks}%{cpg}),"
+            f" R%unit==0 (got {r}%{unit}), unit%sublane==0 (got {unit})"
+        )
+
+    def store_spec(r_, u_):
+        return pl.BlockSpec(
+            (unit, d),
+            lambda g, j, ids_ref, r_=r_, u_=u_: (
+                ids_ref[8 * g + r_, j * cpg + u_], 0
+            ),
+            memory_space=pltpu.VMEM,
+        )
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(t // 8, ks // cpg),
+        in_specs=[store_spec(r_, u_) for r_ in range(8) for u_ in range(cpg)],
+        out_specs=[
+            pl.BlockSpec((8, cpg * unit, d),
+                         lambda g, j, ids_ref: (g, j, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+    )
+    (out,) = pl.pallas_call(
+        _make_gather_rows_kernel(cpg, unit),
+        grid_spec=grid_spec,
+        out_shape=[jax.ShapeDtypeStruct((t, ks * unit, d), shard.dtype)],
+        cost_estimate=pl.CostEstimate(
+            flops=0,
+            bytes_accessed=2 * t * ks * unit * d
+            * jnp.dtype(shard.dtype).itemsize,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(ids, *([shard] * (8 * cpg)))
+    return out
+
+
 def _pick_score_ctile(c: int, d: int, itemsize: int) -> int:
     """Largest candidate tile (multiple of 128 dividing ``c``) whose
     double-buffered 8-query block of rows fits ~8 MB of VMEM."""

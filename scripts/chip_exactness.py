@@ -54,13 +54,30 @@ def build_cases():
 def main() -> int:
     mesh = create_mesh()
     failures = 0
+    # Optional filters for split runs (slow relay states need ~2x 3300 s
+    # for the full sweep — CLAUDE.md ledger): comma lists, empty = all.
+    case_filter = [c for c in os.environ.get("BSR_SWEEP_CASES", "").split(",")
+                   if c]
+    dtype_filter = [d for d in
+                    os.environ.get("BSR_SWEEP_DTYPES", "").split(",") if d]
     for case in build_cases():
         name, mat = case[0], case[1]
+        if case_filter and name not in case_filter:
+            continue
         kernels = case[2] if len(case) > 2 else (
             "pallas", "global", "rescore", "rescore-noarg", "blockmax",
             "scan",
         )
         for dtype in ("bfloat16", "float32", "int8"):
+            if dtype_filter and dtype not in dtype_filter:
+                continue
+            # the certified two-stage path is f32-only (round 5); drive
+            # it explicitly so the sweep proves BOTH certificate branches
+            # on real Mosaic arithmetic (dup cases fail the cert -> the
+            # dense branch runs; random cases pass it -> the fast branch)
+            kernels_d = (
+                kernels + ("f32cert",) if dtype == "float32" else kernels
+            )
             store = DeviceStore.from_host(mat, mesh, dtype=dtype)
             # "rescore" default = argmax fast path (mixed bm/gather scores,
             # sound only because Mosaic bf16 dots are bitwise identical —
@@ -77,7 +94,7 @@ def main() -> int:
             rng = np.random.default_rng(seed)
             qi = rng.integers(0, mat.shape[0], 8)
             queries = mat[qi]
-            for kernel in kernels:
+            for kernel in kernels_d:
                 eng = SearchEngine(
                     store,
                     SearchConfig(

@@ -976,3 +976,77 @@ def test_argmax_rescore_int8_duplicates_oracle_exact():
     order = np.lexsort((np.arange(R)[None, :].repeat(len(q), 0), -sims),
                        axis=1)[:, :K]
     np.testing.assert_array_equal(np.asarray(ids_a), order)
+
+
+def test_f32_certified_oracle_exact(mesh8):
+    """The certified f32 two-stage path (bounded-error Mosaic selection +
+    XLA-HIGHEST rescore + in-program certificate,
+    ops/topk.rescore_f32_certified): forced on via
+    ``f32_certified="on"``, ranked ids must equal the serial oracle on a
+    store with duplicate clusters and a zero row, across k — whichever
+    certificate branch runs. Reference: the store dtype the reference
+    actually uses (src/vectorstore/polars.rs:35-37)."""
+    rng = np.random.default_rng(11)
+    mat = rng.standard_normal((16384, 64)).astype(np.float32)
+    mat[9000:9010] = mat[17]     # duplicate cluster
+    mat[4096] = 0.0              # zero row
+    store = DeviceStore.from_host(mat, mesh8, dtype="float32")
+    eng = SearchEngine(store, SearchConfig(f32_certified="on"))
+    assert eng._resolve_kernel(10) == "f32cert"
+    q = mat[rng.integers(0, 16384, 16)]
+    for k in (1, 10, 100):
+        ids, _ = eng.search(q, k=k)
+        o_ids, _ = eng.oracle_topk(q, k=k)
+        np.testing.assert_array_equal(ids, o_ids)
+
+
+def test_f32_certified_cert_fail_falls_back_exact(mesh8):
+    """An all-duplicate store makes the coverage certificate unprovable
+    (excluded units tie the boundary) — the ``lax.cond`` dense branch
+    must serve the exact answer, bitwise equal to the oracle."""
+    rng = np.random.default_rng(12)
+    dup = np.tile(rng.standard_normal((64, 64)).astype(np.float32),
+                  (128, 1))
+    store = DeviceStore.from_host(dup, mesh8, dtype="float32")
+    eng = SearchEngine(store, SearchConfig(f32_certified="on"))
+    ids, _ = eng.search(dup[:8], k=10)
+    o_ids, _ = eng.oracle_topk(dup[:8], k=10)
+    np.testing.assert_array_equal(ids, o_ids)
+
+
+def test_f32_certified_routing_gates(mesh8):
+    """auto routing: CPU backends and non-f32 stores never take the
+    certified path; "off" disables it even when forced conditions hold;
+    k > 128 exceeds the fixed candidate budget and is refused."""
+    rng = np.random.default_rng(13)
+    mat = rng.standard_normal((4096, 64)).astype(np.float32)
+    f32 = DeviceStore.from_host(mat, mesh8, dtype="float32")
+    # auto on CPU: dense
+    assert SearchEngine(f32, SearchConfig())._resolve_kernel(10) != "f32cert"
+    # off beats on-conditions
+    assert SearchEngine(
+        f32, SearchConfig(f32_certified="off"))._resolve_kernel(10) != "f32cert"
+    # forced, but k over budget: refused
+    eng_on = SearchEngine(f32, SearchConfig(f32_certified="on"))
+    assert eng_on._resolve_kernel(10) == "f32cert"
+    assert eng_on._resolve_kernel(129) != "f32cert"
+    # bf16 store never routes even when forced
+    bf = DeviceStore.from_host(mat, mesh8, dtype="bfloat16")
+    assert SearchEngine(
+        bf, SearchConfig(f32_certified="on"))._resolve_kernel(10) != "f32cert"
+
+
+def test_gather_rows_kernel_bit_exact():
+    """gather_rows is pure data movement: output rows must be bit-for-bit
+    store rows for arbitrary in-range unit ids (interpret mode)."""
+    import jax.numpy as jnp
+
+    from better_search_rag_rust_tpu.ops.topk_pallas import gather_rows
+
+    rng = np.random.default_rng(14)
+    shard = jnp.asarray(rng.standard_normal((1024, 128)).astype(np.float32))
+    ids = jnp.asarray(rng.integers(0, 128, size=(16, 32)).astype(np.int32))
+    out = gather_rows(shard, ids, unit=8, cpg=16, interpret=True)
+    want = np.asarray(shard).reshape(128, 8, 128)[np.asarray(ids)]
+    np.testing.assert_array_equal(np.asarray(out),
+                                  want.reshape(16, 256, 128))
