@@ -40,6 +40,16 @@ import numpy as np
 __all__ = ["DynamicBatcher", "BatcherStats"]
 
 
+def _addressable_bytes_limit(arrays) -> int:
+    """Total ``bytes_limit`` over the device set holding ``arrays``
+    (0 = unknown — platforms without memory stats, e.g. CPU emulation).
+    Module-level so tests can inject a limit without a real chip."""
+    devices = {d for a in arrays for d in a.devices()}
+    return sum(
+        (d.memory_stats() or {}).get("bytes_limit", 0) for d in devices
+    )
+
+
 @dataclass
 class BatcherStats:
     """Counters for observability/tests (snapshot under the batcher lock)."""
@@ -155,7 +165,31 @@ class DynamicBatcher:
             self._nonempty.notify_all()
         return item.future
 
-    def swap_engine(self, engine, manifest=None) -> int:
+    def _check_swap_memory(self, engine, force: bool) -> None:
+        """Refuse a swap whose transient double-residency (old + new device
+        store, both live until in-flight handles drop) cannot fit device
+        memory. Platforms without ``memory_stats`` (CPU emulation) skip the
+        check — host RAM is the only bound there."""
+        if force:
+            return
+        try:
+            old_bytes = int(self.engine.store.data.nbytes)
+            new_bytes = int(engine.store.data.nbytes)
+            limit = _addressable_bytes_limit(
+                (self.engine.store.data, engine.store.data))
+        except Exception:
+            return
+        if limit and old_bytes + new_bytes > 0.9 * limit:
+            raise RuntimeError(
+                f"swap_engine: old ({old_bytes / 1e9:.2f} GB) + new "
+                f"({new_bytes / 1e9:.2f} GB) device stores exceed 90% of "
+                f"addressable device memory ({limit / 1e9:.2f} GB); the "
+                "transient double-residency would OOM mid-serve. Use the "
+                "batcher-less drain-then-rebuild reload (drops the old "
+                "store first), or pass force=True if the headroom is real."
+            )
+
+    def swap_engine(self, engine, manifest=None, force: bool = False) -> int:
         """Hot-swap the engine behind the batcher (the shared-batcher arm
         of serve's ``{"cmd": "reload"}``): dispatches formed AFTER the swap
         run on the new engine; batches already in flight finish on the old
@@ -170,7 +204,13 @@ class DynamicBatcher:
         Memory caveat: both device stores are resident until the old
         engine's last reference drops (in-flight handles + callers) — on an
         HBM-tight chip prefer the batcher-less serve reload, which drops
-        the old store before building the new one."""
+        the old store before building the new one. When the combined
+        resident footprint would exceed ~90% of addressable device memory
+        (e.g. swapping a >half-HBM store such as the 7.7 GB 10M int8
+        lattice on a 16 GB v5e), this method refuses up front rather than
+        letting the allocator OOM mid-serve and kill the server; pass
+        ``force=True`` to override (multi-chip meshes with headroom)."""
+        self._check_swap_memory(engine, force)
         if engine.store.dim != self._dim:
             raise ValueError(
                 f"swap_engine: store dim {engine.store.dim} != the dim "

@@ -783,37 +783,50 @@ def run_battery_suite() -> dict:
 
         return run_jabref_suite()
 
+    # Ordering rule (VERDICT r4 #1: the r04 budget expired with jabref +
+    # serve_100k never run): after the mandatory search_1m headline, the
+    # plan runs the most ARTIFACT-STARVED suites first — a tight budget
+    # then skips suites that already have a driver-captured number
+    # (BENCH_r04: search_1m_int8 122.5k, search_10m_int8_mat256 35.5k,
+    # search_10m_int8 17.9k, encode 1098, serve_open 6.03k), not the
+    # reference's flagship experiment. Already-covered suites rotate to
+    # the tail with trimmed iters (VERDICT r4 #7's rotation scheme).
     plan = [
         ("search_1m", lambda: run_search_suite("search_1m",
                                                SUITES["search_1m"])),
-        ("search_1m_int8", lambda: run_search_suite(
-            "search_1m_int8",
-            dataclasses.replace(SUITES["search_1m_int8"], iters=4))),
-        ("search_10m_int8_mat256", lambda: run_search_suite(
-            "search_10m_int8_mat256",
-            dataclasses.replace(SUITES["search_10m_int8_mat256"], iters=4))),
-        # Reference-dtype parity point (f32 store; engine takes the XLA
-        # kernels for exactness — VERDICT r3 weak #5).
-        ("search_1m_f32", lambda: run_search_suite(
-            "search_1m_f32", SUITES["search_1m_f32"])),
-        # Open-loop serve on the 1M store (the ledger's strongest serving
-        # claim, previously chip-measured only — VERDICT r3 weak #4):
-        # 64 clients x outstanding=8 keeps ~512 requests in flight.
-        # Ordered BEFORE the cheap, already-artifact-backed suites so a
-        # tight budget skips those, not this.
-        ("serve_open", lambda: run_serve_suite(
-            base="search_1m", clients=64, outstanding=8,
-            requests_per_client=256)),
-        # Full-dimension 10M int8 — the highest-MFU config (0.71 at the
-        # 394 TOPS int8 peak; a 7.7 GB store only the int8 lattice fits
-        # on one v5e) built on-device by the chunked >half-HBM fill.
-        ("search_10m_int8", lambda: run_search_suite(
-            "search_10m_int8",
-            dataclasses.replace(SUITES["search_10m_int8"], iters=4))),
-        ("encode", run_encode_suite),
+        # The reference's actual experiment (README.md:155-166,
+        # src/main.rs:38-40): 2,305-file JabRef-shaped corpus, full
+        # ingest -> merge -> search with the serial anchor + speedup.
         ("jabref", _run_jabref),
         ("serve_100k", lambda: run_serve_suite(
             base="search_100k", clients=16, requests_per_client=12)),
+        # Reference-dtype parity point (f32 store; two-stage certified
+        # f32cert kernel on real TPUs — docs/DESIGN.md round-11).
+        ("search_1m_f32", lambda: run_search_suite(
+            "search_1m_f32", SUITES["search_1m_f32"])),
+        # bf16 10M low-dim — ledger 26.9k/MFU 0.70, never in a driver
+        # artifact before r05 (VERDICT r4 missing #3).
+        ("search_10m_mat256", lambda: run_search_suite(
+            "search_10m_mat256",
+            dataclasses.replace(SUITES["search_10m_mat256"], iters=3))),
+        ("finetune", run_finetune_suite),
+        # Open-loop serve on the 1M store: 64 clients x outstanding=8
+        # keeps ~512 requests in flight (r04 artifact: 6.03k q/s).
+        ("serve_open", lambda: run_serve_suite(
+            base="search_1m", clients=64, outstanding=8,
+            requests_per_client=256)),
+        ("encode", run_encode_suite),
+        ("search_1m_int8", lambda: run_search_suite(
+            "search_1m_int8",
+            dataclasses.replace(SUITES["search_1m_int8"], iters=3))),
+        ("search_10m_int8_mat256", lambda: run_search_suite(
+            "search_10m_int8_mat256",
+            dataclasses.replace(SUITES["search_10m_int8_mat256"], iters=3))),
+        # Full-dimension 10M int8 (7.7 GB store, MFU 0.71) — the most
+        # expensive build; r04 already captured it.
+        ("search_10m_int8", lambda: run_search_suite(
+            "search_10m_int8",
+            dataclasses.replace(SUITES["search_10m_int8"], iters=3))),
     ]
 
     battery: Dict[str, dict] = {}
@@ -822,10 +835,14 @@ def run_battery_suite() -> dict:
         if name != "search_1m" and time.perf_counter() - t_start > budget_s:
             skipped.append(name)
             continue
+        t_suite = time.perf_counter()
         try:
             battery[name] = fn()
         except Exception as exc:  # a broken sub-suite must not hide the rest
             battery[name] = {"error": f"{type(exc).__name__}: {exc}"}
+        # Per-suite wall time (detail file only — compact line drops it):
+        # the budget-fitting evidence VERDICT r4 weak #1 asked for.
+        battery[name]["wall_s"] = round(time.perf_counter() - t_suite, 1)
 
     headline = dict(battery.get("search_1m", {}))
     headline["battery"] = {
@@ -878,6 +895,18 @@ def compact_battery_summary(full: dict, cap_bytes: int = 1500) -> dict:
     while len(json.dumps(out)) > cap_bytes and keys:
         keys.pop()
         out = build(keys)
+    # With enough sub-suites even the empty-keys form can overflow the
+    # cap; drop whole sub-suite entries (last-listed first — the plan
+    # orders the most artifact-starved suites earliest), then the
+    # battery dict itself, so the search_1m headline keys ALWAYS fit the
+    # driver's ~2000-char tail capture (the round-3 regression).
+    while len(json.dumps(out)) > cap_bytes and out.get("battery"):
+        dropped = list(out["battery"])[-1]
+        del out["battery"][dropped]
+        out.setdefault("battery_truncated", []).append(dropped)
+    if len(json.dumps(out)) > cap_bytes:
+        out.pop("battery", None)
+        out.pop("battery_truncated", None)
     return out
 
 

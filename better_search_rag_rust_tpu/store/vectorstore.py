@@ -452,7 +452,16 @@ def _store_sample_sha(path: Path, blocks: int = 32,
     moves the size (PLAIN fixed-size rows); any compaction/append shifts
     every byte after the edit point, so some sampled block (the EOF block
     at minimum) changes — while a byte-identical copy (backup restore,
-    image layer) matches exactly even though its mtime differs."""
+    image layer) matches exactly even though its mtime differs.
+
+    Detection limit (by design): files up to ``blocks * block_bytes``
+    (512 KB) are hashed WHOLE, so every content change there is caught.
+    Beyond that, a same-SIZE edit confined to the gaps between sampled
+    blocks passes undetected — same-size tamper detection is
+    probabilistic for large stores. The commit marker's alignment
+    guarantee is unaffected: anything that row-shifts the manifest
+    mapping (append, truncate, compaction, re-merge) changes the file
+    size or the EOF block and is always refused."""
     import hashlib
 
     h = hashlib.sha256()

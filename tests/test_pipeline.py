@@ -899,8 +899,11 @@ def test_update_commit_survives_store_copy_restore(corpus_dir, tmp_path):
     """A byte-identical rewrite of global.parquet (backup restore, image
     layer — new mtime, same content) must NOT brick the store: the
     sampled content fingerprint accepts it. A content change that keeps
-    the byte LENGTH (the case size/row-count checks cannot see) is still
-    refused as torn."""
+    the byte LENGTH (the case size/row-count checks cannot see) is
+    refused as torn here because this store is small enough (< 512 KB)
+    that ``_store_sample_sha`` hashes it WHOLE; for larger stores
+    same-size detection is probabilistic (see the fingerprint docstring —
+    row-shifting edits always change size/EOF and are always caught)."""
     from better_search_rag_rust_tpu.store.vectorstore import (
         global_store_path,
     )

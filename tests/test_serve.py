@@ -671,3 +671,86 @@ def test_swap_engine_contract(served, tmp_path):
         assert int(ids[0, 0]) == 1
     with pytest.raises(RuntimeError, match="closed"):
         b.swap_engine(small)
+
+
+def test_serve_skips_manifest_registration_for_foreign_engine(served):
+    """Round-4 ADVICE (medium): serve must register its manifest for the
+    batcher's current generation ONLY when the batcher still serves the
+    engine the manifest describes. If the pipeline rebuilt its engine
+    (cache invalidated by an in-process update) while the batcher still
+    holds the old one, registering the NEW store's manifest under the OLD
+    engine's generation would format old-store row ids with new-store
+    paths — silently row-shifted. The guard skips registration; futures
+    fail safe to row:N."""
+    import numpy as np
+
+    from better_search_rag_rust_tpu.batcher import DynamicBatcher
+    from better_search_rag_rust_tpu.config import SearchConfig
+    from better_search_rag_rust_tpu.ops import SearchEngine
+    from better_search_rag_rust_tpu.parallel.mesh import create_mesh
+    from better_search_rag_rust_tpu.store import DeviceStore
+
+    dim = served.engine().store.dim
+    foreign = SearchEngine(
+        DeviceStore.from_host(
+            np.random.default_rng(3).standard_normal((20, dim))
+            .astype(np.float32),
+            create_mesh(),
+        ),
+        SearchConfig(top_k=5),
+    )
+    with DynamicBatcher(foreign, k=5, max_batch=8, window_ms=1.0) as b:
+        resp = next(iter(served.serve(
+            [{"id": 1, "query": "public class File3 void method3"}],
+            batcher=b,
+        )))
+        # the pipeline's manifest was NOT registered for the foreign
+        # engine's generation ...
+        assert b.manifest_by_gen.get(b.generation) is None
+        # ... so paths degrade to row:N (served by the batcher's OWN
+        # engine — ids are that store's rows, never the pipeline store's
+        # paths)
+        assert all(r["path"] == f"row:{r['row']}"
+                   for r in resp["results"][0])
+
+
+def test_swap_engine_refuses_oom_double_residency(served, monkeypatch):
+    """swap_engine's transient double-residency (old + new store live
+    until in-flight handles drop) must not OOM mid-serve and kill the
+    server (round-4 ADVICE): when old+new exceed 90% of addressable
+    device memory the swap refuses up front with remediation guidance;
+    force=True overrides for meshes with real headroom."""
+    import numpy as np
+
+    from better_search_rag_rust_tpu import batcher as B
+    from better_search_rag_rust_tpu.batcher import DynamicBatcher
+    from better_search_rag_rust_tpu.config import SearchConfig
+    from better_search_rag_rust_tpu.ops import SearchEngine
+    from better_search_rag_rust_tpu.parallel.mesh import create_mesh
+    from better_search_rag_rust_tpu.store import DeviceStore
+
+    mesh = create_mesh()
+    engine = served.engine()
+    dim = engine.store.dim
+    other = SearchEngine(
+        DeviceStore.from_host(
+            np.random.default_rng(2).standard_normal((64, dim))
+            .astype(np.float32),
+            mesh,
+        ),
+        SearchConfig(top_k=5),
+    )
+    with DynamicBatcher(engine, k=5, max_batch=8, window_ms=1.0) as b:
+        both = int(engine.store.data.nbytes) + int(other.store.data.nbytes)
+        # a limit the pair cannot fit -> refuse, batcher unchanged
+        monkeypatch.setattr(B, "_addressable_bytes_limit",
+                            lambda arrays: both)
+        with pytest.raises(RuntimeError, match="double-residency"):
+            b.swap_engine(other)
+        assert b.engine is engine and b.generation == 0
+        # force overrides; and with headroom the same swap just works
+        gen = b.swap_engine(other, force=True)
+        assert gen == 1 and b.engine is other
+        monkeypatch.setattr(B, "_addressable_bytes_limit",
+                            lambda arrays: both * 4)
+        assert b.swap_engine(engine) == 2
