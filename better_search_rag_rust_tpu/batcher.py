@@ -165,6 +165,26 @@ class DynamicBatcher:
             self._nonempty.notify_all()
         return item.future
 
+    def register_manifest(self, engine, manifest) -> bool:
+        """Register ``manifest`` for the CURRENT generation iff the batcher
+        still serves ``engine`` — the engine the manifest describes.
+
+        Serve loops call this instead of writing :attr:`manifest_by_gen`
+        directly: if the caller's pipeline rebuilt its engine (cache
+        invalidated by an in-process ``update()``) while the batcher still
+        holds the old one, filing the NEW store's manifest under the OLD
+        engine's generation would format old-store row ids with new-store
+        paths — silently row-shifted. Returns whether it registered; on
+        ``False`` callers fall back to ``row:N`` formatting (fail safe).
+        An existing manifest for the generation is never overwritten
+        (first registration wins — same setdefault semantics concurrent
+        serve loops relied on)."""
+        with self._lock:
+            if self.engine is not engine:
+                return False
+            self.manifest_by_gen.setdefault(self.generation, manifest)
+            return True
+
     def _check_swap_memory(self, engine, force: bool) -> None:
         """Refuse a swap whose transient double-residency (old + new device
         store, both live until in-flight handles drop) cannot fit device

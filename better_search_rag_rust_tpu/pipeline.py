@@ -808,19 +808,14 @@ class Pipeline:
             # Register this store's manifest for the batcher's current
             # generation: after a hot swap (possibly by ANOTHER connection)
             # each resolved future formats with the manifest matching the
-            # engine that actually served it. Generation + engine are read
-            # under the batcher lock, and the manifest is registered ONLY
-            # if the batcher still serves the engine it was built from: if
-            # this Pipeline's cache was invalidated (an in-process
-            # ``update()``) and a fresh connection rebuilt a NEW engine
-            # before anyone called ``swap_engine``, registering the new
-            # store's manifest for the OLD engine's generation would
-            # silently row-shift formatted paths. On mismatch we skip —
-            # futures then fail safe to ``row:N`` formatting.
-            with batcher._lock:
-                if batcher.engine is engine:
-                    batcher.manifest_by_gen.setdefault(
-                        batcher.generation, manifest)
+            # engine that actually served it. register_manifest guards on
+            # engine identity under the batcher lock: if this Pipeline's
+            # cache was invalidated (an in-process ``update()``) and a
+            # fresh connection rebuilt a NEW engine before anyone called
+            # ``swap_engine``, filing the new store's manifest for the OLD
+            # engine's generation would silently row-shift formatted
+            # paths. On refusal, futures fail safe to ``row:N``.
+            batcher.register_manifest(engine, manifest)
         meta: deque = deque()  # ("error", resp) | ("ok", id, k_req, nq)
         bufs: deque = deque()  # async search handles, aligned with "ok" metas
 
