@@ -84,7 +84,13 @@ spb = BLOCK // SUB                   # 8 sub-units per block
 ng, gw = nb // SUP_W, SUP_W * spb    # 1240 groups of 64 units
 kg = min(K, ng)                      # 100
 pool = kg * gw                       # 6400
-ks = max(K + (-K) % CPG, CPG)        # 100
+
+
+def ks_for(cpg: int) -> int:         # 100 at cpg=4, 104 at cpg=8
+    return max(K + (-K) % cpg, cpg)
+
+
+ks = ks_for(CPG)
 
 
 def bm_pass(qq, sh):
@@ -101,7 +107,7 @@ def bm_pass(qq, sh):
     return bms_t, bmi_t, (ew or BLOCK)
 
 
-def select_units(bms_t, bmi_t, ew):
+def select_units(bms_t, bmi_t, ew, ks=ks):
     t = Q
     bms3 = bms_t.T.reshape(t, ng, gw)
     if bmi_t is not None:
@@ -121,7 +127,7 @@ def select_units(bms_t, bmi_t, ew):
     return uids
 
 
-def select_units_hier(bms_t, bmi_t, ew):
+def select_units_hier(bms_t, bmi_t, ew, ks=ks):
     """Variant: micro-level per-8 reduce before the pool approx_max_k —
     [T, 6400] PartialReduce becomes [T, 800] + a 8x-narrower repair."""
     t = Q
@@ -156,8 +162,9 @@ def select_units_hier(bms_t, bmi_t, ew):
 
 
 def full_fullg(qq, sh, sel_fn, cpg):
+    ks = ks_for(cpg)
     bms_t, bmi_t, ew = bm_pass(qq, sh)
-    uids = sel_fn(bms_t, bmi_t, ew)
+    uids = sel_fn(bms_t, bmi_t, ew, ks)
     t = Q
     uids_s = jnp.sort(uids, axis=1)
     cand_sims = gather_rescore(qq, sh, uids_s, unit=SUB, cpg=cpg,
