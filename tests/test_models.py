@@ -394,6 +394,64 @@ def test_fused_attention_shape_guard_falls_back():
     assert np.sum(a * b, axis=1).min() > 0.999
 
 
+def test_fused_bwd_head_blocking_odd_heads():
+    """The backward kernel's head-block sizing (hpb heads per grid step
+    for Mosaic's 128-lane rule) must stay exact in the fallback arm too:
+    an ODD head count with hd % 128 != 0 forces hpb=heads (no smaller
+    divisor meets the lane rule), which is a different grid/liveness
+    shape than production's hd=64/hpb=2. Grad must equal the autodiff of
+    the same math regardless of blocking."""
+    import math
+
+    import jax
+    import jax.numpy as jnp
+
+    from better_search_rag_rust_tpu.ops.attention_pallas import (
+        fused_attention_qkv, fused_attention_qkv_diff, rotary_roll_tables)
+
+    B, S, H, HD = 4, 16, 3, 16  # hpb search: 16*h % 128 != 0 for h<=3
+    rng = np.random.default_rng(7)
+    qkv = jnp.asarray(rng.standard_normal((B, S, 3 * H * HD)), jnp.float32)
+    bias = jnp.zeros((B, S), jnp.float32)
+    ang = np.outer(np.arange(S), 1.0 / 1000.0 ** (np.arange(0, HD, 2) / HD))
+    c2, s2 = rotary_roll_tables(
+        jnp.asarray(np.cos(ang), jnp.float32),
+        jnp.asarray(np.sin(ang), jnp.float32))
+    scale = 1.0 / math.sqrt(HD)
+
+    def loss_fused(q):
+        return jnp.sum(
+            fused_attention_qkv_diff(q, c2, s2, bias, H, scale, True) ** 2)
+
+    def attn_jnp(q):
+        """Pure-jnp replica of the kernel math (f32 inputs -> the
+        kernel's astype(v.dtype) casts are identity here), so autodiff
+        gives the exact reference gradient with no custom blocking."""
+        outs = []
+        for h in range(H):
+            q0 = q[:, :, (0 * H + h) * HD:(0 * H + h + 1) * HD]
+            k0 = q[:, :, (1 * H + h) * HD:(1 * H + h + 1) * HD]
+            v = q[:, :, (2 * H + h) * HD:(2 * H + h + 1) * HD]
+            qr = q0 * c2 + jnp.roll(q0, HD // 2, axis=-1) * s2
+            kr = k0 * c2 + jnp.roll(k0, HD // 2, axis=-1) * s2
+            logits = jnp.einsum("bsd,btd->bst", qr, kr) * scale
+            logits = logits + bias[:, None, :]
+            p = jax.nn.softmax(logits, axis=-1)
+            outs.append(jnp.einsum("bst,btd->bsd", p, v))
+        return jnp.concatenate(outs, axis=-1)
+
+    # forward parity first (pins the replica to the kernel)
+    fwd = fused_attention_qkv(qkv, c2, s2, bias, H, scale, interpret=True)
+    np.testing.assert_allclose(np.asarray(fwd, np.float64),
+                               np.asarray(attn_jnp(qkv), np.float64),
+                               rtol=1e-5, atol=1e-5)
+    g_fused = jax.grad(loss_fused)(qkv)
+    g_ref = jax.grad(lambda q: jnp.sum(attn_jnp(q) ** 2))(qkv)
+    np.testing.assert_allclose(
+        np.asarray(g_fused, np.float64), np.asarray(g_ref, np.float64),
+        rtol=1e-4, atol=1e-4)
+
+
 def test_fused_attention_gradients_match_xla():
     """The fused kernel's custom VJP (flash-style recompute backward) must
     produce parameter gradients matching the XLA attention's autodiff
