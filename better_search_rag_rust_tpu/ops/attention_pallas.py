@@ -297,6 +297,9 @@ def _fused_qkv_bwd(heads, scale, interpret, res, dctx):
     # hd % 128 == 0 -> 1). Worst case hpb=heads: whole-head-axis blocks,
     # always lane-legal for hidden % 128 == 0 — still better than the
     # old kernel (grads store per head, no 36-array concat liveness).
+    # Corner: hidden % 128 != 0 AND no smaller legal hpb exists only on
+    # tiny test models; those run interpret-mode (CPU) where the lane
+    # rule is not enforced — real-chip training shapes are hidden=768.
     hpb = heads
     for cand in range(1, heads + 1):
         if (hd * cand) % 128 == 0 and heads % cand == 0:
